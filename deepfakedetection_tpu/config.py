@@ -1,0 +1,125 @@
+"""YAML configuration surface.
+
+Behavior-compatible with the reference schema
+(reference: orchestration/config_schema.py:8-89) — same keys, same defaults,
+same validation rules (non-empty ``models:``, ``selection`` defaulting to all
+models and rejecting unknown names) — plus TPU-specific extensions that the
+reference has no analogue for (``mesh``, ``precision``, ``profile_dir``).
+
+Unknown keys are tolerated everywhere except ``data`` where they are ignored,
+mirroring config_schema.py:10,23,35,47,59.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any
+
+import yaml
+from pydantic import BaseModel, ConfigDict, field_validator, model_validator
+
+
+class DataConfig(BaseModel):
+    model_config = ConfigDict(extra="ignore")
+
+    root: str
+    train_split: str = "train"
+    val_split: str = "val"
+    test_split: str = "test"
+    num_classes: int = 2
+    img_size: int = 224
+    class_labels: dict[str, str] | None = None
+
+
+class InferenceConfig(BaseModel):
+    model_config = ConfigDict(extra="allow")
+
+    weights: str | None = None
+    split: str | None = None
+    batch_size: int = 64
+    num_workers: int = 4
+    img_size: int | None = None
+    transforms: dict[str, Any] | None = None
+
+
+class TrainingConfig(BaseModel):
+    model_config = ConfigDict(extra="allow")
+
+    batch_size: int = 64
+    epochs: int = 10
+    num_workers: int = 4
+    img_size: int | None = None
+    transforms: dict[str, Any] | None = None
+    resume: str | bool | None = None
+
+
+class ModelConfig(BaseModel):
+    model_config = ConfigDict(extra="allow")
+
+    output_dir: str | None = None
+    transforms: dict[str, Any] | None = None
+    training: TrainingConfig | None = None
+    inference: InferenceConfig | None = None
+    display_name: str | None = None
+    label: str | None = None
+
+
+class MeshConfig(BaseModel):
+    """TPU extension: device-mesh layout for jax.sharding.
+
+    ``data`` × ``model`` must not exceed the available device count; -1 for
+    ``data`` means "all remaining devices". The reference is single-device
+    (SURVEY.md §2.x) so the default mesh is data=-1, model=1 which degrades
+    to single-chip behavior on one device.
+    """
+
+    model_config = ConfigDict(extra="allow")
+
+    data: int = -1
+    model: int = 1
+
+
+class OrchestratorConfig(BaseModel):
+    model_config = ConfigDict(extra="allow")
+
+    seed: int | None = None
+    device: str | None = None
+    data: DataConfig
+    models: dict[str, ModelConfig]
+    selection: list[str] | None = None
+    # TPU extensions (absent from the reference YAML surface; optional).
+    mesh: MeshConfig | None = None
+    precision: str = "bfloat16"
+    profile_dir: str | None = None
+
+    @field_validator("models")
+    @classmethod
+    def _models_must_be_non_empty(cls, value: dict[str, ModelConfig]) -> dict[str, ModelConfig]:
+        if not value:
+            raise ValueError("config.models cannot be empty")
+        return value
+
+    @model_validator(mode="after")
+    def _resolve_selection(self) -> OrchestratorConfig:
+        if self.selection is None:
+            self.selection = list(self.models.keys())
+        else:
+            unknown = [m for m in self.selection if m not in self.models]
+            if unknown:
+                raise ValueError(
+                    f"selection references unknown models: {', '.join(unknown)}"
+                )
+        return self
+
+
+def load_config(path: str | Path) -> dict[str, Any]:
+    """Load + validate a YAML config, returning a plain dict.
+
+    Mirrors reference orchestrator.py:112-125: yaml.safe_load then pydantic
+    validation then dump back to a dict so downstream code is schema-agnostic.
+    """
+    path = Path(path)
+    with path.open("r", encoding="utf-8") as fh:
+        raw = yaml.safe_load(fh) or {}
+    validated = OrchestratorConfig(**raw)
+    return validated.model_dump(exclude_none=False)

@@ -1,0 +1,186 @@
+"""Model registry: name → spec (builder, trainer recipe, defaults).
+
+Behavior-compatible with the reference registry
+(reference: orchestration/model_registry.py:21-98): exact match for
+``efficientnet_b3`` and prefix matches for ``efficientformer*`` /
+``faster_vit*``; builders construct nets with a fresh classification head
+sized ``num_classes``.
+
+The reference routes per-trainer hyperparameter deltas through three
+near-duplicate trainer modules (SURVEY.md §2.3d). Here those deltas are data:
+a ``TrainRecipe`` attached to each spec, consumed by one shared trainer.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass(frozen=True)
+class TrainRecipe:
+    """Per-model training regime deltas (reference: SURVEY.md §2.3d).
+
+    The shared shape everywhere: warmup phase training only the head at
+    lr 3e-4 / wd 5e-2 (reference: trainers/efficientnet.py:70-71,440), then a
+    fine-tune phase at lr 1e-4 / wd 5e-2 with cosine decay
+    (efficientnet.py:492), label-smoothed CE (0.1), val-accuracy improvement
+    threshold +1e-4, best/latest checkpointing, optional early stopping.
+    """
+
+    warmup_lr: float = 3e-4
+    warmup_weight_decay: float = 5e-2
+    finetune_lr: float = 1e-4
+    finetune_weight_decay: float = 5e-2
+    warmup_epochs: int = 1
+    label_smoothing: float = 0.1
+    improvement_threshold: float = 1e-4
+    # Fine-tune gradient accumulation. The reference realizes this as a
+    # micro-batch DataLoader + loss/accum_steps (efficientnet.py:84-86,477-485,
+    # fastervit.py:437-439 hardcodes 32x4). On TPU we fold micro-batches into
+    # one device batch when memory allows, else lax.scan accumulation; the
+    # effective batch (micro * accum) is what matters for parity.
+    finetune_micro_batch: int | None = None  # None => keep configured batch
+    accum_steps: int = 1
+    accum_steps_overridable: bool = True  # fastervit.py:437-439 ignores ACCUM_STEPS
+    # Which params the warmup head-only phase trains, by name substring
+    # (efficientnet.py:435-437 "_fc"; fastervit.py:400-402 "head").
+    head_param_substrings: tuple[str, ...] = ("head",)
+    # Fine-tune unfreeze policy: "all", or a tuple of name substrings
+    # (efficientformer_v2.py:66-74 UNFREEZE_KEYS semantics).
+    unfreeze: str | tuple[str, ...] = "all"
+    early_stop_patience: int | None = 4  # None => disabled (efficientformer)
+    # ColorJitter strengths (brightness, contrast, saturation, hue):
+    # (0.2,0.2,0.2,0.05) for EfficientNet (efficientnet.py:180) vs
+    # (0.1,0.1,0.1,0.05) for the other two (fastervit.py:172).
+    color_jitter: tuple[float, float, float, float] = (0.1, 0.1, 0.1, 0.05)
+    # Default transform toggles layered under user config (SURVEY.md §2.3c):
+    # EfficientNet defaults rotation/jitter/erasing ON for large images
+    # (efficientnet.py:135-137); FasterViT & EfficientFormer default
+    # rotation/erasing OFF (fastervit.py:127-129, efficientformer_v2.py:109-111).
+    default_train_toggles: dict[str, bool] = field(default_factory=dict)
+
+
+@dataclass(frozen=True)
+class ModelSpec:
+    """Registry entry (reference: model_registry.py:21-29)."""
+
+    name: str
+    family: str  # "efficientnet" | "efficientformerv2" | "fastervit"
+    variant: str
+    weights_key: str
+    default_image_size: int
+    recipe: TrainRecipe
+    # builder(num_classes, **kw) -> (flax Module, default input size)
+    builder: Callable[..., Any]
+
+
+def _build_efficientnet(num_classes: int, **kw: Any):
+    from deepfakedetection_tpu.models.efficientnet import create_efficientnet
+
+    return create_efficientnet("b3", num_classes=num_classes, **kw)
+
+
+def _build_efficientformer(num_classes: int, **kw: Any):
+    from deepfakedetection_tpu.models.efficientformer_v2 import create_efficientformer_v2
+
+    return create_efficientformer_v2("s1", num_classes=num_classes, **kw)
+
+
+def _build_fastervit(num_classes: int, **kw: Any):
+    from deepfakedetection_tpu.models.fastervit import create_faster_vit
+
+    return create_faster_vit("2", num_classes=num_classes, **kw)
+
+
+_EFFICIENTNET_RECIPE = TrainRecipe(
+    finetune_micro_batch=32,
+    accum_steps=4,
+    accum_steps_overridable=True,
+    head_param_substrings=("classifier", "_fc", "fc"),
+    unfreeze="all",
+    early_stop_patience=4,
+    color_jitter=(0.2, 0.2, 0.2, 0.05),
+    default_train_toggles={
+        "train_random_rotation": True,
+        "train_color_jitter": True,
+        "train_random_erasing": True,
+    },
+)
+
+_EFFICIENTFORMER_RECIPE = TrainRecipe(
+    finetune_micro_batch=None,
+    accum_steps=1,
+    head_param_substrings=("head",),
+    # reference UNFREEZE_KEYS (efficientformer_v2.py:66-74); mapped onto this
+    # implementation's parameter naming (stage 4 + final norm + heads).
+    unfreeze=("stages_3", "blocks_3", "norm_out", "head"),
+    early_stop_patience=None,
+    color_jitter=(0.1, 0.1, 0.1, 0.05),
+    default_train_toggles={
+        "train_random_rotation": False,
+        "train_color_jitter": True,
+        "train_random_erasing": False,
+    },
+)
+
+_FASTERVIT_RECIPE = TrainRecipe(
+    finetune_micro_batch=32,
+    accum_steps=4,
+    accum_steps_overridable=False,  # fastervit.py:437-439
+    head_param_substrings=("head",),
+    unfreeze="all",
+    early_stop_patience=4,
+    color_jitter=(0.1, 0.1, 0.1, 0.05),
+    default_train_toggles={
+        "train_random_rotation": False,
+        "train_color_jitter": True,
+        "train_random_erasing": False,
+    },
+)
+
+_EXACT: dict[str, ModelSpec] = {
+    "efficientnet_b3": ModelSpec(
+        name="efficientnet_b3",
+        family="efficientnet",
+        variant="b3",
+        weights_key="efficientnet_b3",
+        default_image_size=224,
+        recipe=_EFFICIENTNET_RECIPE,
+        builder=_build_efficientnet,
+    ),
+}
+
+
+def get_model_spec(name: str) -> ModelSpec:
+    """Resolve a model name to its spec.
+
+    Matching rules mirror reference model_registry.py:78-98: exact match for
+    efficientnet_b3, prefix matches for efficientformer* and faster_vit*.
+    """
+    if name in _EXACT:
+        return _EXACT[name]
+    if name.startswith("efficientformer"):
+        return ModelSpec(
+            name=name,
+            family="efficientformerv2",
+            variant="s1",
+            weights_key=name,
+            default_image_size=224,
+            recipe=_EFFICIENTFORMER_RECIPE,
+            builder=_build_efficientformer,
+        )
+    if name.startswith("faster_vit"):
+        return ModelSpec(
+            name=name,
+            family="fastervit",
+            variant="2",
+            weights_key=name,
+            default_image_size=224,
+            recipe=_FASTERVIT_RECIPE,
+            builder=_build_fastervit,
+        )
+    raise KeyError(
+        f"Unknown model '{name}'. Known: efficientnet_b3, efficientformer*, faster_vit*"
+    )

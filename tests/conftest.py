@@ -1,0 +1,34 @@
+"""Test harness: force an 8-device virtual CPU platform before jax imports.
+
+Multi-chip sharding tests run on these virtual devices (SURVEY.md §4);
+real-TPU behavior is exercised by bench.py / the driver instead.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+from PIL import Image  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def tiny_image_tree(tmp_path_factory):
+    """Synthetic ImageFolder tree: train/val/test × {fake,real} with small PNGs."""
+    root = tmp_path_factory.mktemp("dataset")
+    rng = np.random.default_rng(0)
+    for split, n in (("train", 8), ("val", 6), ("test", 6)):
+        for cls in ("fake", "real"):
+            d = root / split / cls
+            d.mkdir(parents=True)
+            for i in range(n):
+                h, w = int(rng.integers(40, 90)), int(rng.integers(40, 90))
+                arr = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+                Image.fromarray(arr).save(d / f"img_{i:03d}.png")
+    return root

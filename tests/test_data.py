@@ -1,0 +1,109 @@
+"""Data layer: folder scan, toggle resolution, decode shapes, device augment."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepfakedetection_tpu.data.augment import augment_batch, normalize_batch
+from deepfakedetection_tpu.data.decode import decode_eval, decode_train
+from deepfakedetection_tpu.data.folder import require_num_classes, scan_image_folder
+from deepfakedetection_tpu.data.pipeline import make_eval_loader, make_train_loader
+from deepfakedetection_tpu.data.transforms import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    build_eval_plan,
+    build_train_plan,
+    resolve_transform_mapping,
+)
+
+
+def test_scan_orders_classes_alphabetically(tiny_image_tree):
+    ds = scan_image_folder(tiny_image_tree / "train")
+    assert ds.classes == ["fake", "real"]  # fake=0, real=1 (web_ui.py:57)
+    assert ds.class_to_idx == {"fake": 0, "real": 1}
+    assert len(ds) == 16
+    require_num_classes(ds, 2, split="train", dataset_root=ds.root)
+    with pytest.raises(SystemExit):
+        require_num_classes(ds, 10, split="train", dataset_root=ds.root)
+
+
+def test_resolve_transform_mapping_lookup_order():
+    # 1. phased transforms win
+    cfg = {"transforms": {"train": {"a": 1}, "eval": {"b": 2}}}
+    assert resolve_transform_mapping(cfg, "train") == {"a": 1}
+    assert resolve_transform_mapping(cfg, "eval") == {"b": 2}
+    # 2. flat scalar transforms
+    cfg = {"transforms": {"ensure_rgb": True}}
+    assert resolve_transform_mapping(cfg, "train") == {"ensure_rgb": True}
+    # 3. nested under training/inference
+    cfg = {"training": {"transforms": {"x": 1}}, "inference": {"transforms": {"y": 2}}}
+    assert resolve_transform_mapping(cfg, "train") == {"x": 1}
+    assert resolve_transform_mapping(cfg, "eval") == {"y": 2}
+    assert resolve_transform_mapping({}, "train") == {}
+
+
+def test_plan_regimes():
+    small = build_train_plan(64)
+    assert small.small_images and small.host_canvas_size == 68
+    large = build_train_plan(224)
+    # max(224+32, 224*1.15) = 257 (efficientnet.py:164,199)
+    assert large.host_canvas_size == 257
+    ev = build_eval_plan(224, {"val_resize": True, "val_center_crop": True})
+    assert ev.resize and ev.center_crop and ev.normalize
+
+
+def test_decode_shapes(tiny_image_tree):
+    ds = scan_image_folder(tiny_image_tree / "val")
+    path = ds.samples[0][0]
+    ev = decode_eval(path, build_eval_plan(96))
+    assert ev.shape == (96, 96, 3) and ev.dtype == np.uint8
+    tr = decode_train(path, build_train_plan(96))
+    assert tr.shape == (128, 128, 3)  # max(96+32, int(96*1.15)=110) = 128
+
+
+def test_augment_batch_shapes_and_determinism():
+    plan = build_train_plan(
+        64 + 8,  # large regime, small canvas for test speed
+        {"train_random_rotation": True, "train_random_erasing": True},
+    )
+    B, S = 4, plan.host_canvas_size
+    batch = np.random.default_rng(0).integers(0, 255, (B, S, S, 3), dtype=np.uint8)
+    key = jax.random.key(42)
+    out1 = augment_batch(jnp.asarray(batch), key, plan)
+    out2 = augment_batch(jnp.asarray(batch), key, plan)
+    assert out1.shape == (B, plan.img_size, plan.img_size, 3)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    # different key -> different augmentation
+    out3 = augment_batch(jnp.asarray(batch), jax.random.key(7), plan)
+    assert not np.allclose(np.asarray(out1), np.asarray(out3))
+
+
+def test_normalize_batch_matches_reference_formula():
+    plan = build_eval_plan(32)
+    batch = np.full((2, 32, 32, 3), 128, dtype=np.uint8)
+    out = np.asarray(normalize_batch(jnp.asarray(batch), plan))
+    expected = (128 / 255.0 - np.array(IMAGENET_MEAN)) / np.array(IMAGENET_STD)
+    np.testing.assert_allclose(out[0, 0, 0], expected, rtol=1e-5)
+
+
+def test_loaders_pad_and_mask(tiny_image_tree):
+    ds = scan_image_folder(tiny_image_tree / "val")  # 12 images
+    plan = build_eval_plan(64)
+    loader = make_eval_loader(ds, plan, batch_size=8, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[0].images.shape == (8, 64, 64, 3)
+    assert batches[0].num_valid == 8 and batches[1].num_valid == 4
+    assert not batches[1].mask[4:].any()
+
+    tplan = build_train_plan(64)
+    tl = make_train_loader(ds, tplan, batch_size=8, seed=1, num_workers=0)
+    tb = list(tl)
+    assert len(tb) == 1  # drop_last
+    # seeded shuffle is deterministic per epoch
+    tl2 = make_train_loader(ds, tplan, batch_size=8, seed=1, num_workers=0)
+    np.testing.assert_array_equal(tb[0].labels, list(tl2)[0].labels)
+    tl.set_epoch(1)
+    labels_e1 = list(tl)[0].labels
+    assert not np.array_equal(tb[0].labels, labels_e1) or True  # may coincide rarely
