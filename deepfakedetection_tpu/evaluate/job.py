@@ -1,0 +1,205 @@
+"""The batch-eval job: threshold sweep → test pass → metrics/plots/logs.
+
+Call-stack parity with the reference inference path (SURVEY.md §3.2;
+reference: orchestrator.py:418-658): model load (strict=False), eval
+transforms, binary threshold sweep over val, test eval with live img/s,
+accuracy/ROC-AUC/confusion matrix, plots, metrics.jsonl append, console
+summary — with the eval loop jitted and batches padded to static shapes.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from datetime import datetime
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepfakedetection_tpu.data.augment import normalize_batch
+from deepfakedetection_tpu.data.folder import require_num_classes, scan_image_folder
+from deepfakedetection_tpu.data.pipeline import make_eval_loader
+from deepfakedetection_tpu.data.transforms import build_eval_plan
+from deepfakedetection_tpu.evaluate.metrics import confusion, roc_auc, sweep_threshold
+from deepfakedetection_tpu.evaluate.plots import save_confusion_matrix, save_roc_curve
+from deepfakedetection_tpu.parallel.mesh import make_mesh, shard_batch
+from deepfakedetection_tpu.registry import ModelSpec
+from deepfakedetection_tpu.runtime import checkpoint as ckpt
+from deepfakedetection_tpu.runtime.logging import Throughput, append_metrics, console, tee_output
+from deepfakedetection_tpu.runtime.paths import RunPaths
+from deepfakedetection_tpu.train.steps import init_model_variables, make_eval_step
+
+
+@dataclass
+class EvalJob:
+    model_name: str
+    spec: ModelSpec
+    run_paths: RunPaths
+    data_root: Path
+    split: str = "test"
+    val_split: str = "val"
+    num_classes: int = 2
+    img_size: int = 224
+    batch_size: int = 64
+    num_workers: int = 4
+    weights: Path | None = None
+    seed: int | None = None
+    eval_toggles: dict[str, Any] = field(default_factory=dict)
+    class_labels: dict[str, str] | None = None
+    mesh_data: int = -1
+    mesh_model: int = 1
+    compute_dtype: Any = jnp.bfloat16
+
+
+@dataclass
+class EvalResult:
+    metrics: dict[str, Any]
+    probs: np.ndarray
+    targets: np.ndarray
+    preds: np.ndarray
+
+
+def load_model_for_eval(job: EvalJob):
+    """Build + init the model, then load weights (strict=False tolerant)."""
+    model = job.spec.builder(job.num_classes, dtype=job.compute_dtype)
+    params, batch_stats = init_model_variables(
+        model, jax.random.key(0), (1, job.img_size, job.img_size, 3)
+    )
+    if job.weights is not None:
+        wpath = Path(job.weights)
+        if wpath.exists():
+            target = {"params": jax.device_get(params), "batch_stats": jax.device_get(batch_stats)}
+            restored, unmatched = ckpt.load_weights(
+                wpath, target, model_family=job.spec.family
+            )
+            params = restored.get("params", params)
+            batch_stats = restored.get("batch_stats", batch_stats)
+            if unmatched:
+                console.print(
+                    f"[yellow]⚠ {len(unmatched)} checkpoint tensors not loaded "
+                    f"(strict=False): {unmatched[:5]}…[/]"
+                )
+        else:
+            console.print(f"[yellow]⚠ weights not found at {wpath}; using init weights[/]")
+    return model, params, batch_stats
+
+
+def _collect_probs(eval_step, params, batch_stats, loader, plan, mesh, compute_dtype):
+    probs_list, targets_list = [], []
+    meter = Throughput()
+    speed = 0.0
+    for batch in loader:
+        images = shard_batch(mesh, jnp.asarray(batch.images))
+        x = normalize_batch(images, plan, out_dtype=compute_dtype)
+        probs = np.asarray(eval_step(params, batch_stats, x))
+        valid = batch.mask
+        probs_list.append(probs[valid])
+        targets_list.append(batch.labels[valid])
+        speed = meter.update(int(valid.sum()))
+    if not probs_list:
+        return np.zeros((0, 2)), np.zeros((0,), np.int64), 0.0
+    return np.concatenate(probs_list), np.concatenate(targets_list), speed
+
+
+def run_eval_job(job: EvalJob) -> EvalResult | None:
+    console.print(f"[bold]→ inference {job.model_name}[/]")
+    log_path = job.run_paths.logs / "inference.log"
+    log_path.unlink(missing_ok=True)
+    with tee_output(log_path):
+        return _run_eval_job(job)
+
+
+def _run_eval_job(job: EvalJob) -> EvalResult | None:
+    console.print(
+        f"[bold]Model[/]: {job.model_name} | split={job.split} | batch={job.batch_size}"
+    )
+    mesh = make_mesh(job.mesh_data, job.mesh_model)
+    model, params, batch_stats = load_model_for_eval(job)
+    eval_step = make_eval_step(model)
+    plan = build_eval_plan(job.img_size, job.eval_toggles)
+
+    # ---- binary decision-threshold sweep on val (orchestrator.py:513-546)
+    best_threshold = 0.5
+    if job.num_classes == 2:
+        val_path = job.data_root / job.val_split
+        if val_path.exists():
+            try:
+                val_ds = scan_image_folder(val_path)
+            except FileNotFoundError:
+                val_ds = None
+            if val_ds is not None and len(val_ds) > 0:
+                val_loader = make_eval_loader(
+                    val_ds, plan, batch_size=job.batch_size, num_workers=job.num_workers
+                )
+                vprobs, vtargets, _ = _collect_probs(
+                    eval_step, params, batch_stats, val_loader, plan, mesh, job.compute_dtype
+                )
+                if vprobs.size:
+                    best_threshold = sweep_threshold(vprobs[:, 1], vtargets)
+
+    # ---- test pass --------------------------------------------------------
+    test_path = job.data_root / job.split
+    if not test_path.exists():
+        console.print(f"[bold red]Split not found:[/] {test_path}")
+        raise SystemExit(1)
+    test_ds = scan_image_folder(test_path)
+    require_num_classes(test_ds, job.num_classes, split=job.split, dataset_root=test_path)
+    if len(test_ds) == 0:
+        console.print(f"[bold yellow]No images found in[/] {test_path}")
+        return None
+
+    loader = make_eval_loader(
+        test_ds, plan, batch_size=job.batch_size, num_workers=job.num_workers
+    )
+    probs, targets, speed = _collect_probs(
+        eval_step, params, batch_stats, loader, plan, mesh, job.compute_dtype
+    )
+    console.print(f"  eval throughput: {speed:.1f} img/s")
+
+    if job.num_classes == 2:
+        preds = (probs[:, 1] >= best_threshold).astype(np.int64)
+    else:
+        preds = probs.argmax(axis=-1)
+
+    accuracy = float((preds == targets).mean()) if targets.size else 0.0
+    metrics: dict[str, Any] = {
+        "model": job.model_name,
+        "split": job.split,
+        "accuracy": accuracy,
+        "timestamp": datetime.now().isoformat(),
+    }
+    if np.unique(targets).size > 1:
+        auc = (
+            roc_auc(targets, probs[:, 1])
+            if job.num_classes == 2
+            else roc_auc(targets, probs, multi_class=True)
+        )
+        if auc is not None:
+            metrics["roc_auc"] = auc
+    if job.num_classes == 2:
+        metrics["threshold"] = float(best_threshold)
+
+    cm = confusion(targets, preds)
+    metrics["confusion_matrix"] = cm.tolist()
+    save_confusion_matrix(cm, test_ds.classes, job.run_paths.plots / "confusion_matrix.png")
+    if job.num_classes == 2 and np.unique(targets).size > 1:
+        save_roc_curve(targets, probs[:, 1], job.run_paths.plots / "roc_curve.png")
+
+    append_metrics(job.run_paths.logs / "metrics.jsonl", metrics)
+    console.print(
+        "[bold]Accuracy[/]: "
+        f"{accuracy:.4f} "
+        + " ".join(
+            f"{k}={v:.4f}"
+            for k, v in metrics.items()
+            if isinstance(v, float) and k != "accuracy"
+        )
+    )
+    # machine-readable one-liner for harness consumption
+    console.print(
+        json.dumps({"model": job.model_name, "split": job.split, "accuracy": accuracy})
+    )
+    return EvalResult(metrics=metrics, probs=probs, targets=targets, preds=preds)

@@ -1,0 +1,180 @@
+"""Orchestration: config → per-model run dirs → train/eval job dispatch.
+
+Call-stack parity with the reference (SURVEY.md §3.1-3.2; reference:
+orchestration/orchestrator.py:661-713): load+validate config, seed, iterate
+``selection`` (skipping unknown names with a warning), fresh timestamped run
+dir + config snapshot per model, then dispatch by mode. The reference's
+env-var relay into trainer modules (orchestrator.py:183-283) is replaced by
+typed ``TrainJob``/``EvalJob`` objects — same YAML keys, same defaults.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+from typing import Any
+
+from deepfakedetection_tpu.config import load_config
+from deepfakedetection_tpu.data.transforms import resolve_transform_mapping
+from deepfakedetection_tpu.evaluate.job import EvalJob, run_eval_job
+from deepfakedetection_tpu.registry import get_model_spec
+from deepfakedetection_tpu.runtime.logging import console
+from deepfakedetection_tpu.runtime.paths import ensure_run_dirs, snapshot_config
+from deepfakedetection_tpu.runtime.seeding import apply_seed
+from deepfakedetection_tpu.train.loop import TrainJob, run_training
+
+
+def _resolve_path(value: str | Path) -> Path:
+    p = Path(value).expanduser()
+    return p if p.is_absolute() else (Path.cwd() / p).resolve()
+
+
+def _parse_resume(value: Any) -> bool:
+    """training.resume ∈ {1, true, "auto"} enables auto-resume
+    (orchestrator.py:246-249)."""
+    if isinstance(value, bool):
+        return value
+    if isinstance(value, (int, float)):
+        return bool(value)
+    if isinstance(value, str):
+        return value.strip().lower() in ("1", "true", "auto", "yes")
+    return False
+
+
+def _mesh_dims(config: dict[str, Any]) -> tuple[int, int]:
+    mesh = config.get("mesh") or {}
+    return int(mesh.get("data", -1) or -1), int(mesh.get("model", 1) or 1)
+
+
+def build_train_job(
+    config: dict[str, Any], model_name: str, model_cfg: dict[str, Any], run_paths
+) -> TrainJob:
+    spec = get_model_spec(model_name)
+    data_cfg = config.get("data", {})
+    train_cfg = model_cfg.get("training") or {}
+    img_size = int(
+        train_cfg.get("img_size")
+        or data_cfg.get("img_size")
+        or spec.default_image_size
+    )
+    mesh_data, mesh_model = _mesh_dims(config)
+    return TrainJob(
+        model_name=model_name,
+        spec=spec,
+        run_paths=run_paths,
+        data_root=_resolve_path(data_cfg.get("root", "data")),
+        train_split=data_cfg.get("train_split", "train"),
+        val_split=data_cfg.get("val_split", "val"),
+        num_classes=int(model_cfg.get("num_classes", data_cfg.get("num_classes", 2))),
+        img_size=img_size,
+        batch_size=int(train_cfg.get("batch_size", 64)),
+        epochs=int(train_cfg.get("epochs", 10)),
+        num_workers=int(train_cfg.get("num_workers", 4)),
+        lr=(float(train_cfg["lr"]) if train_cfg.get("lr") is not None else None),
+        weight_decay=(
+            float(train_cfg["weight_decay"])
+            if train_cfg.get("weight_decay") is not None
+            else None
+        ),
+        accum_steps=(
+            int(train_cfg["accum_steps"])
+            if train_cfg.get("accum_steps") is not None
+            else None
+        ),
+        warmup_epochs=(
+            int(train_cfg["warmup_epochs"])
+            if train_cfg.get("warmup_epochs") is not None
+            else None
+        ),
+        early_stop_patience=(
+            int(train_cfg["early_stop_patience"])
+            if train_cfg.get("early_stop_patience") is not None
+            else None
+        ),
+        resume_auto=_parse_resume(train_cfg.get("resume")),
+        seed=config.get("seed"),
+        train_toggles=resolve_transform_mapping(model_cfg, "train"),
+        eval_toggles=resolve_transform_mapping(model_cfg, "eval"),
+        mesh_data=mesh_data,
+        mesh_model=mesh_model,
+    )
+
+
+def build_eval_job(
+    config: dict[str, Any], model_name: str, model_cfg: dict[str, Any], run_paths
+) -> EvalJob:
+    spec = get_model_spec(model_name)
+    data_cfg = config.get("data", {})
+    infer_cfg = model_cfg.get("inference") or {}
+    train_cfg = model_cfg.get("training") or {}
+    # img_size fallback chain: infer → train → data → spec default
+    # (orchestrator.py:250-276)
+    img_size = int(
+        infer_cfg.get("img_size")
+        or train_cfg.get("img_size")
+        or data_cfg.get("img_size")
+        or spec.default_image_size
+    )
+    weights = infer_cfg.get("weights")
+    mesh_data, mesh_model = _mesh_dims(config)
+    return EvalJob(
+        model_name=model_name,
+        spec=spec,
+        run_paths=run_paths,
+        data_root=_resolve_path(data_cfg.get("root", "data")),
+        split=infer_cfg.get("split") or data_cfg.get("test_split", "test"),
+        val_split=data_cfg.get("val_split", "val"),
+        num_classes=int(model_cfg.get("num_classes", data_cfg.get("num_classes", 2))),
+        img_size=img_size,
+        batch_size=int(infer_cfg.get("batch_size", 64)),
+        num_workers=int(infer_cfg.get("num_workers", 4)),
+        weights=_resolve_path(weights) if weights else None,
+        seed=config.get("seed"),
+        eval_toggles=resolve_transform_mapping(model_cfg, "eval"),
+        class_labels=data_cfg.get("class_labels"),
+        mesh_data=mesh_data,
+        mesh_model=mesh_model,
+    )
+
+
+def orchestrate(config_path: str | Path, mode: str = "training") -> None:
+    config_path = Path(config_path)
+    config = load_config(config_path)
+    apply_seed(config.get("seed"))
+
+    selection = config.get("selection") or list((config.get("models") or {}).keys())
+    models = config.get("models") or {}
+    for model_name in selection:
+        model_cfg = models.get(model_name)
+        if model_cfg is None:
+            console.print(f"[yellow]⚠ unknown model '{model_name}' — skipping[/]")
+            continue
+        model_cfg = dict(model_cfg)
+        model_cfg["name"] = model_name
+        output_dir = model_cfg.get("output_dir") or f"runs/{model_name}"
+        run_paths = ensure_run_dirs(_resolve_path(output_dir))
+        snapshot_config(config, model_name, run_paths)
+        if mode == "training":
+            job = build_train_job(config, model_name, model_cfg, run_paths)
+            result = run_training(job)
+            console.print(
+                f"[bold green]✓ {model_name}[/]: best val acc "
+                f"{result.best_val_acc:.4f} @ epoch {result.best_epoch + 1}"
+            )
+        elif mode == "inference":
+            job = build_eval_job(config, model_name, model_cfg, run_paths)
+            run_eval_job(job)
+        else:
+            raise ValueError(f"unknown mode '{mode}'")
+
+
+def run_cli(default_mode: str = "training") -> None:
+    parser = argparse.ArgumentParser(description="deepfakedetection_tpu orchestrator")
+    parser.add_argument(
+        "--config",
+        type=Path,
+        default=Path("config/train.yaml" if default_mode == "training" else "config/inference.yaml"),
+    )
+    parser.add_argument("--mode", choices=["training", "inference"], default=default_mode)
+    args = parser.parse_args()
+    orchestrate(args.config, mode=args.mode)

@@ -1,0 +1,111 @@
+"""Checkpointing: Orbax latest/best + portable weight export/import.
+
+Reproduces the reference's checkpoint surface (SURVEY.md §5.4; reference:
+orchestration/train_env.py:254-306):
+- ``latest.ckpt`` every epoch with {epoch, model, optimizer, scheduler-state,
+  best_val_acc, best_epoch, warmup_done} → here an Orbax directory checkpoint
+  of the full TrainState + counters
+- ``best.ckpt`` + bare best weights ``<weights_key>.pth`` on improvement
+- auto-resume iff resume enabled and latest exists (train_env.py:182-185)
+- inference weight loading tolerates {"state_dict":…}/{"model":…} wrappers
+  and partial mismatch, strict=False style (orchestrator.py:350-377); real
+  PyTorch ``.pth`` checkpoints are converted on the fly
+  (runtime/torch_convert.py) since torch-cpu is available for unpickling.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+from flax import serialization
+
+_MSGPACK_MAGIC_HINT = b"\x81"  # msgpack map header — torch zips start with b"PK"
+
+
+def _checkpointer() -> ocp.Checkpointer:
+    return ocp.StandardCheckpointer()
+
+
+def save_tree(path: Path, tree: Any) -> None:
+    """Save a pytree checkpoint directory, atomically replacing any old one."""
+    path = Path(path).resolve()
+    tmp = path.with_name(path.name + ".tmp")
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    with _checkpointer() as ckptr:
+        ckptr.save(tmp, tree)
+    if path.exists():
+        shutil.rmtree(path)
+    tmp.rename(path)
+
+
+def restore_tree(path: Path, target: Any) -> Any:
+    """Restore a pytree checkpoint with ``target``'s structure/shardings."""
+    path = Path(path).resolve()
+    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
+    with _checkpointer() as ckptr:
+        return ckptr.restore(path, abstract)
+
+
+def latest_path(checkpoints_dir: Path) -> Path:
+    return Path(checkpoints_dir) / "latest.ckpt"
+
+
+def best_path(checkpoints_dir: Path) -> Path:
+    return Path(checkpoints_dir) / "best.ckpt"
+
+
+def has_latest(checkpoints_dir: Path) -> bool:
+    return latest_path(checkpoints_dir).exists()
+
+
+# ---------------------------------------------------------------------------
+# Portable bare-weights export/import (the ".pth" surface)
+# ---------------------------------------------------------------------------
+
+
+def export_weights(path: Path, params: Any, batch_stats: Any | None = None) -> Path:
+    """Export inference weights as flax msgpack bytes.
+
+    Written to the configured path even if it ends ``.pth`` (the reference's
+    naming, efficientnet.py:552-554); the loader auto-detects format by magic
+    bytes, so both native exports and genuine torch checkpoints work.
+    """
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tree = {"params": jax.device_get(params)}
+    if batch_stats is not None:
+        tree["batch_stats"] = jax.device_get(batch_stats)
+    path.write_bytes(serialization.to_bytes(tree))
+    return path
+
+
+def load_weights(path: Path, target: dict[str, Any], *, model_family: str | None = None):
+    """Load bare weights from native msgpack or a PyTorch .pth checkpoint.
+
+    ``target`` is {"params": ..., "batch_stats": ...} from a fresh init.
+    Missing/mismatched leaves keep their init values (strict=False analogue);
+    a list of unmatched paths is returned for logging.
+    """
+    path = Path(path)
+    blob = path.read_bytes()
+    if blob[:2] == b"PK" or blob[:1] == b"\x80":  # torch zip / legacy pickle
+        from deepfakedetection_tpu.runtime.torch_convert import (
+            convert_torch_checkpoint,
+        )
+
+        return convert_torch_checkpoint(blob, target, model_family=model_family)
+    restored = serialization.from_bytes(target, blob)
+    return restored, []
+
+
+def tree_allclose(a: Any, b: Any) -> bool:
+    leaves_a, leaves_b = jax.tree.leaves(a), jax.tree.leaves(b)
+    return len(leaves_a) == len(leaves_b) and all(
+        np.allclose(np.asarray(x), np.asarray(y)) for x, y in zip(leaves_a, leaves_b)
+    )

@@ -1,0 +1,347 @@
+"""The shared trainer: two-phase fine-tune driven by a TrainRecipe.
+
+One implementation replaces the reference's three near-duplicate trainer
+modules (reference: trainers/efficientnet.py:336-569, fastervit.py:303-536,
+efficientformer_v2.py:260-461); their behavioral deltas arrive as data via
+``ModelSpec.recipe`` (registry.py). Regime parity (SURVEY.md §2.3d):
+
+- WARMUP: head-only AdamW(3e-4, wd 5e-2) for ``warmup_epochs``
+- FINE-TUNE: AdamW(lr, wd) over the recipe's unfreeze set with
+  CosineAnnealingLR(T_max=epochs-1) stepped per epoch
+- label-smoothed CE (0.1), improvement threshold +1e-4 on val accuracy,
+  latest.ckpt every epoch + best.ckpt & bare weights on improvement,
+  optional early stopping, auto-resume from latest.ckpt
+
+TPU deltas (documented): bf16 autocast instead of CUDA AMP (no GradScaler —
+bf16 needs no loss scaling); gradient accumulation folds micro-batches into
+one device batch (same effective batch; BN sees the effective batch, which
+under pjit is also how cross-replica stats behave); augmentation runs fused
+on device (data/augment.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+from time import perf_counter
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepfakedetection_tpu.data.augment import augment_batch, normalize_batch
+from deepfakedetection_tpu.data.folder import require_num_classes, scan_image_folder
+from deepfakedetection_tpu.data.pipeline import make_eval_loader, make_train_loader
+from deepfakedetection_tpu.data.transforms import build_eval_plan, build_train_plan
+from deepfakedetection_tpu.parallel.mesh import make_mesh, shard_batch
+from deepfakedetection_tpu.registry import ModelSpec
+from deepfakedetection_tpu.runtime import checkpoint as ckpt
+from deepfakedetection_tpu.runtime.logging import Throughput, console
+from deepfakedetection_tpu.runtime.paths import RunPaths
+from deepfakedetection_tpu.runtime.seeding import apply_seed, root_key
+from deepfakedetection_tpu.train.optim import (
+    epoch_cosine_schedule,
+    head_predicate,
+    make_phase_optimizer,
+    unfreeze_predicate,
+)
+from deepfakedetection_tpu.train.steps import (
+    TrainState,
+    init_model_variables,
+    make_eval_step,
+    make_train_step,
+)
+
+
+@dataclass
+class TrainJob:
+    """Typed replacement for the reference's ~20-env-var trainer contract
+    (reference: orchestrator.py:183-283)."""
+
+    model_name: str
+    spec: ModelSpec
+    run_paths: RunPaths
+    data_root: Path
+    train_split: str = "train"
+    val_split: str = "val"
+    num_classes: int = 2
+    img_size: int = 224
+    batch_size: int = 64
+    epochs: int = 10
+    num_workers: int = 4
+    lr: float | None = None
+    weight_decay: float | None = None
+    accum_steps: int | None = None
+    warmup_epochs: int | None = None
+    early_stop_patience: int | None = None
+    resume_auto: bool = False
+    seed: int | None = None
+    train_toggles: dict[str, Any] = field(default_factory=dict)
+    eval_toggles: dict[str, Any] = field(default_factory=dict)
+    mesh_data: int = -1
+    mesh_model: int = 1
+    compute_dtype: Any = jnp.bfloat16
+
+
+@dataclass
+class TrainResult:
+    best_val_acc: float
+    best_epoch: int
+    epochs_run: int
+    final_train_loss: float
+
+
+def _counters_tree(epoch: int, best_val_acc: float, best_epoch: int, warmup_done: bool):
+    return {
+        "epoch": np.asarray(epoch, np.int32),
+        "best_val_acc": np.asarray(best_val_acc, np.float32),
+        "best_epoch": np.asarray(best_epoch, np.int32),
+        "warmup_done": np.asarray(int(warmup_done), np.int32),
+    }
+
+
+def evaluate(
+    eval_step, params, batch_stats, loader, plan, *, mesh, compute_dtype
+) -> tuple[float, float]:
+    """(accuracy, img/s) over a loader. Softmax on device, masking on host."""
+    correct = 0
+    total = 0
+    meter = Throughput()
+    speed = 0.0
+    for batch in loader:
+        images = shard_batch(mesh, jnp.asarray(batch.images))
+        x = normalize_batch(images, plan, out_dtype=compute_dtype)
+        probs = np.asarray(eval_step(params, batch_stats, x))
+        preds = probs.argmax(axis=-1)
+        valid = batch.mask
+        correct += int((preds[valid] == batch.labels[valid]).sum())
+        total += int(valid.sum())
+        speed = meter.update(int(valid.sum()))
+    return (correct / max(total, 1)), speed
+
+
+def run_training(job: TrainJob) -> TrainResult:
+    recipe = job.spec.recipe
+    apply_seed(job.seed)
+    key = root_key(job.seed)
+
+    # ----- plans & data ---------------------------------------------------
+    train_plan = build_train_plan(
+        job.img_size,
+        job.train_toggles,
+        recipe_defaults=recipe.default_train_toggles,
+        jitter_params=recipe.color_jitter,
+    )
+    eval_plan = build_eval_plan(job.img_size, job.eval_toggles)
+
+    train_ds = scan_image_folder(job.data_root / job.train_split)
+    val_ds = scan_image_folder(job.data_root / job.val_split)
+    require_num_classes(
+        train_ds, job.num_classes, split=job.train_split, dataset_root=train_ds.root
+    )
+
+    mesh = make_mesh(job.mesh_data, job.mesh_model)
+    n_data = mesh.shape["data"]
+
+    # ----- model ----------------------------------------------------------
+    model = job.spec.builder(job.num_classes, dtype=job.compute_dtype)
+    params, batch_stats = init_model_variables(
+        model, jax.random.key(0 if job.seed is None else job.seed),
+        (1, job.img_size, job.img_size, 3),
+    )
+    console.print(
+        f"[bold]→ training {job.model_name}[/] | params="
+        f"{sum(x.size for x in jax.tree.leaves(params)) / 1e6:.2f}M | "
+        f"mesh data={n_data} model={mesh.shape['model']}"
+    )
+
+    # ----- phase configuration -------------------------------------------
+    warmup_epochs = job.warmup_epochs if job.warmup_epochs is not None else recipe.warmup_epochs
+    ft_lr = job.lr if job.lr is not None else recipe.finetune_lr
+    ft_wd = job.weight_decay if job.weight_decay is not None else recipe.finetune_weight_decay
+    accum = recipe.accum_steps
+    if recipe.accum_steps_overridable and job.accum_steps is not None:
+        accum = max(1, job.accum_steps)
+    micro = recipe.finetune_micro_batch or job.batch_size
+    # fold micro-batch accumulation into one device batch (same effective
+    # batch as the reference's micro-batch×accum loop, efficientnet.py:477-485)
+    ft_batch = micro * accum
+    patience = (
+        job.early_stop_patience
+        if job.early_stop_patience is not None
+        else recipe.early_stop_patience
+    )
+
+    epochs = job.epochs
+    steps_per_epoch = max(len(train_ds) // max(ft_batch, 1), 1)
+
+    def batch_to_device(batch, aug_key, plan):
+        images = shard_batch(mesh, jnp.asarray(batch.images))
+        x = augment_batch(images, aug_key, plan, out_dtype=job.compute_dtype)
+        labels = shard_batch(mesh, jnp.asarray(batch.labels))
+        mask = shard_batch(mesh, jnp.asarray(batch.mask))
+        return x, labels, mask
+
+    def train_one_epoch(train_step, state, loader, epoch_key, desc):
+        losses = []
+        meter = Throughput()
+        speed = 0.0
+        for i, batch in enumerate(loader):
+            x, labels, mask = batch_to_device(
+                batch, jax.random.fold_in(epoch_key, i), train_plan
+            )
+            state, metrics = train_step(state, x, labels, mask, epoch_key)
+            losses.append(metrics["loss"])
+            speed = meter.update(batch.num_valid)
+        mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
+        console.print(f"  {desc}: loss={mean_loss:.4f} | {speed:.1f} img/s")
+        return state, mean_loss
+
+    eval_step = make_eval_step(model)
+    eval_loader = make_eval_loader(
+        val_ds, eval_plan, batch_size=job.batch_size, num_workers=job.num_workers
+    )
+
+    best_val_acc = 0.0
+    best_epoch = -1
+    start_epoch = 0
+    warmup_done = False
+    final_loss = 0.0
+
+    # ----- fine-tune optimizer (also the resume target) -------------------
+    ft_tx, n_train, n_total = make_phase_optimizer(
+        params,
+        lr=epoch_cosine_schedule(ft_lr, epochs, steps_per_epoch),
+        weight_decay=ft_wd,
+        trainable=unfreeze_predicate(recipe.unfreeze),
+    )
+    ft_state = TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=ft_tx.init(params),
+        step=jnp.asarray(0, jnp.int32),
+    )
+
+    # ----- auto-resume (train_env.py:182-185,288-306) ----------------------
+    latest = ckpt.latest_path(job.run_paths.checkpoints)
+    if job.resume_auto and latest.exists():
+        target = {
+            "state": ft_state,
+            "counters": _counters_tree(0, 0.0, -1, False),
+        }
+        restored = ckpt.restore_tree(latest, target)
+        from deepfakedetection_tpu.parallel.mesh import replicated
+
+        ft_state = jax.device_put(restored["state"], replicated(mesh))
+        c = restored["counters"]
+        start_epoch = int(c["epoch"]) + 1
+        best_val_acc = float(c["best_val_acc"])
+        best_epoch = int(c["best_epoch"])
+        warmup_done = bool(int(c["warmup_done"]))
+        console.print(
+            f"  resumed from {latest} at epoch {start_epoch} "
+            f"(best={best_val_acc:.4f} @ {best_epoch})"
+        )
+
+    # ----- WARMUP phase ----------------------------------------------------
+    if not warmup_done and warmup_epochs > 0 and start_epoch == 0:
+        wu_tx, wu_n, _ = make_phase_optimizer(
+            ft_state.params,
+            lr=recipe.warmup_lr,
+            weight_decay=recipe.warmup_weight_decay,
+            trainable=head_predicate(recipe.head_param_substrings),
+        )
+        console.print(
+            f"  warmup: {warmup_epochs} epoch(s), head-only "
+            f"({wu_n}/{n_total} param tensors) @ lr={recipe.warmup_lr}"
+        )
+        wu_state = TrainState(
+            params=ft_state.params,
+            batch_stats=ft_state.batch_stats,
+            opt_state=wu_tx.init(ft_state.params),
+            step=jnp.asarray(0, jnp.int32),
+        )
+        wu_step = make_train_step(model, wu_tx, label_smoothing=recipe.label_smoothing)
+        wu_loader = make_train_loader(
+            train_ds, train_plan, batch_size=job.batch_size, seed=job.seed,
+            num_workers=job.num_workers,
+        )
+        for we in range(warmup_epochs):
+            wu_loader.set_epoch(we)
+            wu_key = jax.random.fold_in(key, 10_000 + we)
+            wu_state, _ = train_one_epoch(
+                wu_step, wu_state, wu_loader, wu_key, f"warmup {we + 1}/{warmup_epochs}"
+            )
+        acc, _ = evaluate(
+            eval_step, wu_state.params, wu_state.batch_stats, eval_loader,
+            eval_plan, mesh=mesh, compute_dtype=job.compute_dtype,
+        )
+        console.print(f"  warmup val acc={acc:.4f}")
+        ft_state = ft_state.replace(
+            params=wu_state.params, batch_stats=wu_state.batch_stats
+        )
+        warmup_done = True
+
+    # ----- FINE-TUNE phase -------------------------------------------------
+    console.print(
+        f"  fine-tune: epochs={epochs} batch={ft_batch} "
+        f"(micro {micro} × accum {accum}) lr={ft_lr} "
+        f"trainable={n_train}/{n_total} tensors"
+    )
+    ft_step = make_train_step(model, ft_tx, label_smoothing=recipe.label_smoothing)
+    ft_loader = make_train_loader(
+        train_ds, train_plan, batch_size=ft_batch, seed=job.seed,
+        num_workers=job.num_workers,
+    )
+
+    epochs_without_improvement = 0
+    epoch = start_epoch - 1
+    for epoch in range(start_epoch, epochs):
+        ft_loader.set_epoch(epoch)
+        epoch_key = jax.random.fold_in(key, 20_000 + epoch)
+        ft_state, final_loss = train_one_epoch(
+            ft_step, ft_state, ft_loader, epoch_key, f"epoch {epoch + 1}/{epochs}"
+        )
+        acc, espeed = evaluate(
+            eval_step, ft_state.params, ft_state.batch_stats, eval_loader,
+            eval_plan, mesh=mesh, compute_dtype=job.compute_dtype,
+        )
+        improved = acc > best_val_acc + recipe.improvement_threshold
+        if improved:
+            best_val_acc = acc
+            best_epoch = epoch
+            epochs_without_improvement = 0
+        else:
+            epochs_without_improvement += 1
+        console.print(
+            f"  val acc={acc:.4f} ({espeed:.1f} img/s)"
+            + (" [best]" if improved else "")
+        )
+
+        # latest.ckpt every epoch (train_env.py:254-278)
+        tree = {
+            "state": ft_state,
+            "counters": _counters_tree(epoch, best_val_acc, best_epoch, True),
+        }
+        ckpt.save_tree(ckpt.latest_path(job.run_paths.checkpoints), tree)
+        if improved:
+            ckpt.save_tree(ckpt.best_path(job.run_paths.checkpoints), tree)
+            ckpt.export_weights(
+                job.run_paths.checkpoints / f"{job.spec.weights_key}.pth",
+                ft_state.params,
+                ft_state.batch_stats,
+            )
+        if patience is not None and epochs_without_improvement >= patience:
+            console.print(
+                f"  early stop: no improvement for {patience} epochs "
+                f"(efficientnet.py:559-564 semantics)"
+            )
+            break
+
+    return TrainResult(
+        best_val_acc=best_val_acc,
+        best_epoch=best_epoch,
+        epochs_run=epoch - start_epoch + 1,
+        final_train_loss=final_loss,
+    )

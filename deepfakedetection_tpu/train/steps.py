@@ -1,0 +1,115 @@
+"""Jitted train/eval steps.
+
+The reference's eager hot loop (H2D copy → autocast fwd → scaled bwd → step,
+trainers/efficientnet.py:265-333) becomes ONE compiled XLA program:
+``train_step(state, images, labels, mask, key) -> (state, metrics)``, traced
+once per phase, donated state, bf16 compute (no GradScaler — bf16 needs no
+loss scaling, a documented delta from CUDA AMP). Under a multi-device mesh
+the same program is data-parallel: batches arrive sharded over the "data"
+axis and GSPMD inserts gradient/metric all-reduces over ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from deepfakedetection_tpu.train.objectives import accuracy_count, smoothed_cross_entropy
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray  # scalar int32
+
+
+def init_model_variables(model, rng, input_shape: tuple[int, ...]):
+    """Initialize {params, batch_stats} with a jitted init (fast tracing)."""
+
+    @jax.jit
+    def _init(key):
+        return model.init(
+            {"params": key}, jnp.zeros(input_shape, jnp.float32), train=False
+        )
+
+    variables = _init(rng)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    return params, batch_stats
+
+
+def make_train_step(model, tx, *, label_smoothing: float = 0.1):
+    """Build the donated, jitted train step for one phase."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, images, labels, mask, key):
+        step_key = jax.random.fold_in(key, state.step)
+        k_drop, k_path = jax.random.split(step_key)
+
+        def loss_fn(params):
+            outputs, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                images,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": k_drop, "droppath": k_path},
+            )
+            loss = smoothed_cross_entropy(
+                outputs, labels, mask, label_smoothing=label_smoothing
+            )
+            return loss, (mutated["batch_stats"], outputs)
+
+        (loss, (new_stats, logits)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        correct, total = accuracy_count(logits, labels, mask)
+        metrics = {"loss": loss, "correct": correct, "total": total}
+        new_state = TrainState(
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model):
+    """Jitted eval step returning f32 softmax probs (reference computes
+    softmax then argmax/threshold on host, orchestrator.py:589-607)."""
+
+    @jax.jit
+    def eval_step(params, batch_stats, images):
+        logits = model.apply(
+            {"params": params, "batch_stats": batch_stats}, images, train=False
+        )
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+    return eval_step
+
+
+def make_eval_step_with_features(model):
+    """Eval step that also returns the Grad-CAM feature map (intermediates)."""
+
+    @jax.jit
+    def eval_step(params, batch_stats, images):
+        logits, inter = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images,
+            train=False,
+            mutable=["intermediates"],
+        )
+        feats = jax.tree.leaves(inter["intermediates"])[0]
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1), feats
+
+    return eval_step
