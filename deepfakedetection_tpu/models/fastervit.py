@@ -1,0 +1,338 @@
+"""FasterViT (0–4) in Flax, NHWC, bf16-first.
+
+TPU-native re-implementation of the backbone the reference consumes from the
+``fastervit`` wheel (reference: trainers/fastervit.py:371 ``create_model``,
+orchestration/model_registry.py:43-47 swaps ``head``). Architecture follows
+the published FasterViT design (Hatamizadeh et al., "FasterViT: Fast Vision
+Transformers with Hierarchical Attention", 2023 — PAPERS.md):
+
+- conv stem (two stride-2 3x3+BN+ReLU) then 4 stages with 2x channel growth
+- stages 1-2: residual conv blocks (3x3+BN+GELU → 3x3+BN, layer-scale)
+- stages 3-4: windowed transformer blocks with Hierarchical ATtention:
+  per-window carrier tokens (CTs) summarize each window (avg-pool
+  tokenizer), attend globally among themselves, then join their window's
+  tokens for local attention; at the stage end CT content is propagated
+  back into the window tokens (nearest upsample + add)
+- stage 4 at 7x7 equals one window → plain global attention, no CTs.
+
+TPU mapping: window partition is a reshape/transpose (static shapes), HAT
+attention batches [B*nW, ct²+win², C] onto the MXU, CT attention batches
+[B, nCT, C]. Positional handling: learned relative bias tables per attention
+and learned absolute embeddings for CTs/window tokens (a documented delta
+from the reference wheel's log-CPB MLP embeddings — same role, simpler and
+faster on TPU).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from deepfakedetection_tpu.models.common import ConvBN, DropPath, Mlp
+
+_VARIANTS: dict[str, dict[str, Any]] = {
+    "0": {"dim": 64, "in_dim": 64, "depths": (2, 3, 6, 5), "num_heads": (2, 4, 8, 16)},
+    "1": {"dim": 80, "in_dim": 32, "depths": (1, 3, 8, 5), "num_heads": (2, 4, 8, 16)},
+    "2": {"dim": 96, "in_dim": 64, "depths": (3, 3, 8, 5), "num_heads": (2, 4, 8, 16)},
+    "3": {"dim": 128, "in_dim": 64, "depths": (3, 3, 12, 5), "num_heads": (2, 4, 8, 16)},
+    "4": {"dim": 196, "in_dim": 64, "depths": (3, 3, 12, 5), "num_heads": (4, 8, 16, 32)},
+}
+
+_LAYER_SCALE_INIT = 1e-5
+
+
+def window_partition(x: jnp.ndarray, win: int) -> jnp.ndarray:
+    """[B,H,W,C] → [B*nW, win*win, C] (static reshape/transpose)."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // win, win, W // win, win, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B * (H // win) * (W // win), win * win, C)
+
+
+def window_reverse(x: jnp.ndarray, win: int, H: int, W: int, B: int) -> jnp.ndarray:
+    """Inverse of window_partition."""
+    C = x.shape[-1]
+    x = x.reshape(B, H // win, W // win, win, win, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H, W, C)
+
+
+class TokenAttention(nn.Module):
+    """MHSA over a token sequence with a learned [N,N] per-head bias."""
+
+    dim: int
+    num_heads: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, N, C = x.shape
+        head_dim = C // self.num_heads
+        qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = jnp.einsum(
+            "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
+        ) * (head_dim ** -0.5)
+        bias = self.param(
+            "rel_bias", nn.initializers.zeros, (self.num_heads, N, N), jnp.float32
+        )
+        attn = nn.softmax(attn + bias[None], axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v, preferred_element_type=jnp.float32)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, C).astype(self.dtype)
+        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+
+
+class TransformerSubBlock(nn.Module):
+    """prenorm attention + prenorm MLP, both with layer-scale and drop-path."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float
+    drop_path_rate: float
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        def scaled(name, fx):
+            gamma = self.param(
+                f"{name}_gamma", nn.initializers.constant(_LAYER_SCALE_INIT),
+                (self.dim,), jnp.float32,
+            )
+            return DropPath(self.drop_path_rate, name=f"{name}_dp")(
+                fx * gamma.astype(fx.dtype), train
+            )
+
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        x = x + scaled("attn", TokenAttention(
+            self.dim, self.num_heads, dtype=self.dtype, name="attn")(h))
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
+        x = x + scaled("mlp", Mlp(
+            int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype, name="mlp")(h))
+        return x
+
+
+class ConvBlock(nn.Module):
+    """Residual conv block for stages 1-2."""
+
+    dim: int
+    drop_path_rate: float
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        h = ConvBN(self.dim, (3, 3), act=nn.gelu, dtype=self.dtype, name="conv1")(x, train)
+        h = ConvBN(self.dim, (3, 3), dtype=self.dtype, name="conv2")(h, train)
+        gamma = self.param(
+            "gamma", nn.initializers.constant(_LAYER_SCALE_INIT), (self.dim,), jnp.float32
+        )
+        return x + DropPath(self.drop_path_rate, name="dp")(
+            h * gamma.astype(h.dtype), train
+        )
+
+
+class Downsample(nn.Module):
+    """LayerNorm (channel) + 3x3 stride-2 conv, doubling channels."""
+
+    dim_out: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x).astype(self.dtype)
+        return nn.Conv(
+            self.dim_out, (3, 3), strides=(2, 2), padding="SAME", use_bias=False,
+            dtype=self.dtype, name="conv",
+        )(x)
+
+
+class HATBlock(nn.Module):
+    """Hierarchical-attention block over (carrier tokens, window tokens)."""
+
+    dim: int
+    num_heads: int
+    window_size: int
+    ct_size: int
+    mlp_ratio: float
+    drop_path_rate: float
+    last: bool  # propagate CT content back into windows after this block
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x_windows: jnp.ndarray, ct: jnp.ndarray, train: bool = False):
+        """x_windows: [B*nW, win², C]; ct: [B, nW*ct², C] (global CT sequence)."""
+        BnW, Nw, C = x_windows.shape
+        Bct, Nct_total, _ = ct.shape
+        nW = BnW // Bct
+        ct_per_win = self.ct_size * self.ct_size
+
+        # 1) carrier tokens attend globally among themselves
+        ct = TransformerSubBlock(
+            self.dim, self.num_heads, self.mlp_ratio, self.drop_path_rate,
+            dtype=self.dtype, name="hat",
+        )(ct, train)
+
+        # 2) each window attends jointly over [its CTs ; its tokens]
+        ct_windows = ct.reshape(BnW, ct_per_win, C)
+        y = jnp.concatenate([ct_windows, x_windows], axis=1)
+        y = TransformerSubBlock(
+            self.dim, self.num_heads, self.mlp_ratio, self.drop_path_rate,
+            dtype=self.dtype, name="win",
+        )(y, train)
+        ct_windows, x_windows = y[:, :ct_per_win], y[:, ct_per_win:]
+        ct = ct_windows.reshape(Bct, Nct_total, C)
+
+        if self.last:
+            # global feature propagation: nearest-upsample each window's CT
+            # grid (ct×ct) to (win×win) and add to the window tokens
+            cs, ws = self.ct_size, self.window_size
+            grid = ct_windows.reshape(BnW, cs, cs, C)
+            reps = ws // cs + (1 if ws % cs else 0)
+            up = jnp.repeat(jnp.repeat(grid, reps, axis=1), reps, axis=2)[:, :ws, :ws]
+            x_windows = x_windows + up.reshape(BnW, Nw, C)
+        return x_windows, ct
+
+
+class PlainBlock(nn.Module):
+    """Stage-4 block: the 7x7 map is one window → plain global attention."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float
+    drop_path_rate: float
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        return TransformerSubBlock(
+            self.dim, self.num_heads, self.mlp_ratio, self.drop_path_rate,
+            dtype=self.dtype, name="blk",
+        )(tokens, train)
+
+
+class FasterViT(nn.Module):
+    """FasterViT classifier. Input NHWC normalized float; output logits."""
+
+    num_classes: int
+    dim: int = 96
+    in_dim: int = 64
+    depths: tuple[int, ...] = (3, 3, 8, 5)
+    num_heads: tuple[int, ...] = (2, 4, 8, 16)
+    window_size: int = 7
+    ct_size: int = 2
+    mlp_ratio: float = 4.0
+    drop_path_rate: float = 0.2
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = x.astype(self.dtype)
+        # stem: 3 → in_dim → dim, each 3x3 stride 2 + BN + ReLU
+        x = ConvBN(self.in_dim, (3, 3), strides=(2, 2), act=nn.relu,
+                   dtype=self.dtype, name="stem_0")(x, train)
+        x = ConvBN(self.dim, (3, 3), strides=(2, 2), act=nn.relu,
+                   dtype=self.dtype, name="stem_1")(x, train)
+
+        total = sum(self.depths)
+        done = 0
+        # ---- conv stages 1-2 --------------------------------------------
+        for stage in range(2):
+            dim = self.dim * (2 ** stage)
+            if stage > 0:
+                x = Downsample(dim, dtype=self.dtype, name=f"downsample_{stage}")(x, train)
+            for blk in range(self.depths[stage]):
+                dp = self.drop_path_rate * (done + blk) / max(total - 1, 1)
+                x = ConvBlock(dim, dp, dtype=self.dtype,
+                              name=f"stage{stage}_block{blk}")(x, train)
+            done += self.depths[stage]
+
+        # ---- stage 3: HAT with carrier tokens ---------------------------
+        stage = 2
+        dim = self.dim * 4
+        x = Downsample(dim, dtype=self.dtype, name="downsample_2")(x, train)
+        B, H, W, _ = x.shape
+        ws = self.window_size
+        use_ct = H > ws or W > ws
+        if use_ct:
+            nWh, nWw = H // ws, W // ws
+            ct_h, ct_w = self.ct_size * nWh, self.ct_size * nWw
+            # tokenizer: abs pos embed + overlapping avg-pool to the CT grid
+            pos = self.param(
+                "ct_pos_embed", nn.initializers.normal(0.02), (H, W, dim), jnp.float32
+            )
+            feat = x + pos.astype(self.dtype)
+            stride = H // ct_h
+            kernel = H - (ct_h - 1) * stride
+            ct_grid = nn.avg_pool(feat, (kernel, kernel), strides=(stride, stride))
+            # group CTs window-major so [B,nW*ct², C] reshapes to per-window
+            ct_grid = ct_grid.reshape(B, nWh, self.ct_size, nWw, self.ct_size, dim)
+            ct = ct_grid.transpose(0, 1, 3, 2, 4, 5).reshape(
+                B, nWh * nWw * self.ct_size**2, dim
+            )
+            xw = window_partition(x, ws)
+            win_pos = self.param(
+                "win_pos_embed", nn.initializers.normal(0.02), (ws * ws, dim), jnp.float32
+            )
+            xw = xw + win_pos.astype(self.dtype)[None]
+            for blk in range(self.depths[stage]):
+                dp = self.drop_path_rate * (done + blk) / max(total - 1, 1)
+                xw, ct = HATBlock(
+                    dim, self.num_heads[stage], ws, self.ct_size, self.mlp_ratio,
+                    dp, last=(blk == self.depths[stage] - 1), dtype=self.dtype,
+                    name=f"stage2_block{blk}",
+                )(xw, ct, train)
+            x = window_reverse(xw, ws, H, W, B)
+        else:  # small inputs degenerate to plain windowed attention
+            tokens = x.reshape(B, H * W, dim)
+            for blk in range(self.depths[stage]):
+                dp = self.drop_path_rate * (done + blk) / max(total - 1, 1)
+                tokens = PlainBlock(
+                    dim, self.num_heads[stage], self.mlp_ratio, dp,
+                    dtype=self.dtype, name=f"stage2_block{blk}",
+                )(tokens, train)
+            x = tokens.reshape(B, H, W, dim)
+        done += self.depths[stage]
+
+        # ---- stage 4: global attention (one window) ---------------------
+        stage = 3
+        dim = self.dim * 8
+        x = Downsample(dim, dtype=self.dtype, name="downsample_3")(x, train)
+        B, H, W, _ = x.shape
+        tokens = x.reshape(B, H * W, dim)
+        pos4 = self.param(
+            "stage3_pos_embed", nn.initializers.normal(0.02), (H * W, dim), jnp.float32
+        )
+        tokens = tokens + pos4.astype(self.dtype)[None]
+        for blk in range(self.depths[stage]):
+            dp = self.drop_path_rate * (done + blk) / max(total - 1, 1)
+            tokens = PlainBlock(
+                dim, self.num_heads[stage], self.mlp_ratio, dp,
+                dtype=self.dtype, name=f"stage3_block{blk}",
+            )(tokens, train)
+        x = tokens.reshape(B, H, W, dim)
+
+        x = nn.BatchNorm(
+            use_running_average=not train, dtype=jnp.float32, name="norm_out"
+        )(x)
+        self.sow("intermediates", "cam_features", x)
+        x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        return nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(x)
+
+
+def create_faster_vit(
+    variant: str = "2", *, num_classes: int = 2, dtype: Any = jnp.bfloat16
+) -> FasterViT:
+    key = variant.split("_")[0]
+    if key not in _VARIANTS:
+        raise KeyError(f"unknown FasterViT variant '{variant}'")
+    cfg = _VARIANTS[key]
+    return FasterViT(
+        num_classes=num_classes,
+        dim=cfg["dim"],
+        in_dim=cfg["in_dim"],
+        depths=cfg["depths"],
+        num_heads=cfg["num_heads"],
+        dtype=dtype,
+    )
