@@ -1,0 +1,93 @@
+"""Headline benchmark: eval images/sec/chip at 224px (flagship model).
+
+Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "img/s/chip", "vs_baseline": N}``
+
+Baseline: the reference publishes no throughput numbers (BASELINE.md); the
+driver target is ≥5,000 img/s/chip eval at 224px on TPU v5e, so
+``vs_baseline = value / 5000``.
+
+Methodology notes:
+- the whole timing loop runs ON DEVICE inside one jitted lax.scan so
+  host↔device round-trip latency is excluded and per-step inputs vary
+  (prevents loop-invariant hoisting and any execution-result caching)
+- timing fetches the reduced VALUE to host: on some transports
+  ``block_until_ready`` acks before completion, so a value fetch is the only
+  trustworthy completion barrier
+- measures the device compute path (synthetic resident batches); the host
+  input pipeline is exercised separately by the test suite.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_IMG_S = 5000.0
+
+
+def bench_eval(
+    model_name: str = "efficientnet_b3",
+    batch: int = 512,
+    steps: int = 30,
+    img_size: int = 224,
+) -> float:
+    from deepfakedetection_tpu.registry import get_model_spec
+    from deepfakedetection_tpu.train.steps import init_model_variables
+
+    spec = get_model_spec(model_name)
+    model = spec.builder(2, dtype=jnp.bfloat16)
+    params, batch_stats = init_model_variables(
+        model, jax.random.key(0), (1, img_size, img_size, 3)
+    )
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def loop(params, batch_stats, base, seed, n):
+        def body(carry, i):
+            x = base + (seed + i).astype(jnp.bfloat16) * 1e-6
+            logits = model.apply(
+                {"params": params, "batch_stats": batch_stats}, x, train=False
+            )
+            return carry + logits.sum(), None
+
+        out, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n))
+        return out
+
+    base = jnp.ones((batch, img_size, img_size, 3), jnp.bfloat16)
+    float(loop(params, batch_stats, base, jnp.int32(0), steps))  # compile + warm
+    best = 0.0
+    for trial in range(2):
+        t0 = time.perf_counter()
+        float(loop(params, batch_stats, base, jnp.int32(100 + trial), steps))
+        dt = time.perf_counter() - t0
+        best = max(best, batch * steps / dt)
+    return best
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", default="efficientnet_b3")
+    parser.add_argument("--batch", type=int, default=512)
+    parser.add_argument("--steps", type=int, default=30)
+    args = parser.parse_args()
+
+    img_s = bench_eval(args.model, args.batch, args.steps)
+    print(
+        json.dumps(
+            {
+                "metric": f"eval_throughput_224px_{args.model}",
+                "value": round(img_s, 1),
+                "unit": "img/s/chip",
+                "vs_baseline": round(img_s / BASELINE_IMG_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

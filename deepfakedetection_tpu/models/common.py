@@ -15,8 +15,13 @@ Dtype = Any
 class ConvBN(nn.Module):
     """Conv2D + BatchNorm (+ optional activation). NHWC, TF-style SAME padding.
 
-    BatchNorm runs in float32 for numerical stability regardless of the
-    compute dtype; output is cast back to ``dtype``.
+    Owns its parameters directly so the eval path can FOLD BatchNorm into the
+    convolution: ``w' = w * gamma/sqrt(var+eps)``, ``b' = beta - mean *
+    gamma/sqrt(var+eps)`` — one conv+bias instead of conv → normalize →
+    rescale, eliminating a full HBM pass over the activations per layer.
+    Training mode computes batch statistics in f32 (under pjit the batch axis
+    is the global batch, i.e. cross-replica synced stats) and updates running
+    stats with the usual momentum rule.
     """
 
     features: int
@@ -31,26 +36,69 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = nn.Conv(
-            self.features,
-            self.kernel_size,
-            strides=self.strides,
-            padding="SAME",
-            feature_group_count=self.groups,
-            use_bias=self.use_bias,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=self.bn_momentum,
-            epsilon=self.bn_epsilon,
-            dtype=jnp.float32,
-            name="bn",
-        )(x)
+        in_features = x.shape[-1]
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kh, kw, in_features // self.groups, self.features),
+            jnp.float32,
+        )
+        conv_bias = (
+            self.param("conv_bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
+        )
+
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")
+        )
+
+        def conv(inputs, w, preferred):
+            # preferred=f32 gives a fused f32 epilogue (measured faster for
+            # eval) but its VJP dtype-mismatches on bf16 operands, so the
+            # train path uses plain bf16 conv (MXU still accumulates f32).
+            return jax.lax.conv_general_dilated(
+                inputs,
+                w.astype(self.dtype),
+                window_strides=self.strides,
+                padding="SAME",
+                dimension_numbers=dn,
+                feature_group_count=self.groups,
+                preferred_element_type=preferred,
+            )
+
+        if not train:
+            # fold BN (+ conv bias) into the conv weights/bias
+            denom = scale * jax.lax.rsqrt(ra_var.value + self.bn_epsilon)
+            w = kernel * denom  # broadcast over output-features dim
+            b = bias - (ra_mean.value - (conv_bias if conv_bias is not None else 0.0)) * denom
+            y = conv(x.astype(self.dtype), w, jnp.float32) + b
+        else:
+            y = conv(x.astype(self.dtype), kernel, None).astype(jnp.float32)
+            if conv_bias is not None:
+                y = y + conv_bias
+            axes = (0, 1, 2)
+            mean = jnp.mean(y, axis=axes)
+            var = jnp.var(y, axis=axes)
+            ra_mean.value = (
+                self.bn_momentum * ra_mean.value + (1.0 - self.bn_momentum) * mean
+            )
+            ra_var.value = (
+                self.bn_momentum * ra_var.value + (1.0 - self.bn_momentum) * var
+            )
+            y = (y - mean) * jax.lax.rsqrt(var + self.bn_epsilon) * scale + bias
         if self.act is not None:
-            x = self.act(x)
-        return x.astype(self.dtype)
+            y = self.act(y)
+        return y.astype(self.dtype)
 
 
 class SqueezeExcite(nn.Module):

@@ -75,28 +75,29 @@ def _efficientnet_name_map(flax_paths: list[tuple[str, ...]]) -> dict[str, tuple
     mapping: dict[str, tuple[str, ...]] = {}
 
     def bn(torch_prefix: str, flax_prefix: tuple[str, ...]) -> None:
+        # ConvBN owns both conv and BN params at one level (models/common.py)
         mapping[f"{torch_prefix}.weight"] = flax_prefix + ("scale",)
         mapping[f"{torch_prefix}.bias"] = flax_prefix + ("bias",)
         mapping[f"{torch_prefix}.running_mean"] = flax_prefix + ("mean",)
         mapping[f"{torch_prefix}.running_var"] = flax_prefix + ("var",)
 
-    mapping["_conv_stem.weight"] = ("stem", "conv", "kernel")
-    bn("_bn0", ("stem", "bn"))
+    mapping["_conv_stem.weight"] = ("stem", "kernel")
+    bn("_bn0", ("stem",))
     for flat_idx, (stage, rep) in enumerate(blocks):
         b = f"_blocks.{flat_idx}"
         f = f"stage{stage}_block{rep}"
-        mapping[f"{b}._expand_conv.weight"] = (f, "expand", "conv", "kernel")
-        bn(f"{b}._bn0", (f, "expand", "bn"))
-        mapping[f"{b}._depthwise_conv.weight"] = (f, "depthwise", "conv", "kernel")
-        bn(f"{b}._bn1", (f, "depthwise", "bn"))
+        mapping[f"{b}._expand_conv.weight"] = (f, "expand", "kernel")
+        bn(f"{b}._bn0", (f, "expand"))
+        mapping[f"{b}._depthwise_conv.weight"] = (f, "depthwise", "kernel")
+        bn(f"{b}._bn1", (f, "depthwise"))
         mapping[f"{b}._se_reduce.weight"] = (f, "se", "reduce", "kernel")
         mapping[f"{b}._se_reduce.bias"] = (f, "se", "reduce", "bias")
         mapping[f"{b}._se_expand.weight"] = (f, "se", "expand", "kernel")
         mapping[f"{b}._se_expand.bias"] = (f, "se", "expand", "bias")
-        mapping[f"{b}._project_conv.weight"] = (f, "project", "conv", "kernel")
-        bn(f"{b}._bn2", (f, "project", "bn"))
-    mapping["_conv_head.weight"] = ("head_conv", "conv", "kernel")
-    bn("_bn1", ("head_conv", "bn"))
+        mapping[f"{b}._project_conv.weight"] = (f, "project", "kernel")
+        bn(f"{b}._bn2", (f, "project"))
+    mapping["_conv_head.weight"] = ("head_conv", "kernel")
+    bn("_bn1", ("head_conv",))
     mapping["_fc.weight"] = ("classifier", "kernel")
     mapping["_fc.bias"] = ("classifier", "bias")
     return mapping
