@@ -60,28 +60,44 @@ def window_reverse(x: jnp.ndarray, win: int, H: int, W: int, B: int) -> jnp.ndar
 
 
 class TokenAttention(nn.Module):
-    """MHSA over a token sequence with a learned [N,N] per-head bias."""
+    """MHSA over a token sequence with a learned [N,N] per-head bias.
+
+    Dispatches to the fused Pallas window-attention kernel for TPU inference
+    (ops/attention.py), XLA einsums otherwise.
+    """
 
     dim: int
     num_heads: int
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        from deepfakedetection_tpu.ops.attention import use_pallas_default, window_mhsa_pallas
+
         B, N, C = x.shape
-        head_dim = C // self.num_heads
+        h = self.num_heads
+        head_dim = C // h
+        scale = head_dim ** -0.5
         qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
-        attn = jnp.einsum(
-            "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
-        ) * (head_dim ** -0.5)
         bias = self.param(
-            "rel_bias", nn.initializers.zeros, (self.num_heads, N, N), jnp.float32
+            "rel_bias", nn.initializers.zeros, (h, N, N), jnp.float32
         )
-        attn = nn.softmax(attn + bias[None], axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v, preferred_element_type=jnp.float32)
-        out = out.transpose(0, 2, 1, 3).reshape(B, N, C).astype(self.dtype)
+        if not train and use_pallas_default():
+            qkv5 = qkv.reshape(B, N, 3, h, head_dim)
+            out = window_mhsa_pallas(
+                qkv5[:, :, 0], qkv5[:, :, 1], qkv5[:, :, 2], bias, scale=scale
+            ).astype(self.dtype)
+        else:
+            qkv5 = qkv.reshape(B, N, 3, h, head_dim).transpose(2, 0, 3, 1, 4)
+            q, k, v = qkv5[0], qkv5[1], qkv5[2]  # [B,h,N,d]
+            attn = jnp.einsum(
+                "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
+            ) * scale
+            attn = nn.softmax(attn + bias[None], axis=-1).astype(self.dtype)
+            out = jnp.einsum(
+                "bhnm,bhmd->bhnd", attn, v, preferred_element_type=jnp.float32
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(B, N, C).astype(self.dtype)
         return nn.Dense(C, dtype=self.dtype, name="proj")(out)
 
 
@@ -107,7 +123,7 @@ class TransformerSubBlock(nn.Module):
 
         h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
         x = x + scaled("attn", TokenAttention(
-            self.dim, self.num_heads, dtype=self.dtype, name="attn")(h))
+            self.dim, self.num_heads, dtype=self.dtype, name="attn")(h, train))
         h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
         x = x + scaled("mlp", Mlp(
             int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype, name="mlp")(h))

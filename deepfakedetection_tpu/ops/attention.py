@@ -1,0 +1,106 @@
+"""Short-window multi-head attention: XLA reference + Pallas dispatch.
+
+The model code calls ``window_mhsa`` with unpadded [B, N, h, d] tensors; this
+module picks the fused Pallas kernel (inference on TPU) or the XLA einsum
+path (training — the kernel has no VJP — and non-TPU backends), handling the
+tile padding contract of ops/pallas/window_attn.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e9
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def use_pallas_default() -> bool:
+    """Pallas attention is opt-in: measured end-to-end on v5e the XLA einsum
+    path currently wins for these tiny windows (53-64 tokens); the kernel is
+    kept as infrastructure and a tuning target (set DFD_ENABLE_PALLAS=1)."""
+    if os.environ.get("DFD_DISABLE_PALLAS"):
+        return False
+    if not os.environ.get("DFD_ENABLE_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def window_mhsa_xla(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, bias: jnp.ndarray, *, scale: float
+) -> jnp.ndarray:
+    """Reference path. q,k,v: [B,N,h,d]; bias: [h,N,N] f32 → [B,N,h*d].
+
+    Transposes to [B,h,N,d] first — measured faster on v5e than einsum-ing
+    the bnhd layout directly (XLA picks better matmul layouts).
+    """
+    B, N, h, d = q.shape
+    q = q.transpose(0, 2, 1, 3)
+    k = k.transpose(0, 2, 1, 3)
+    v = v.transpose(0, 2, 1, 3)
+    attn = jnp.einsum(
+        "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    attn = jax.nn.softmax(attn + bias[None].astype(jnp.float32), axis=-1)
+    attn = attn.astype(q.dtype)
+    out = jnp.einsum("bhnm,bhmd->bhnd", attn, v, preferred_element_type=jnp.float32)
+    return out.astype(q.dtype).transpose(0, 2, 1, 3).reshape(B, N, h * d)
+
+
+def window_mhsa_pallas(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: jnp.ndarray,
+    *,
+    scale: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    from deepfakedetection_tpu.ops.pallas.window_attn import fused_window_attention
+
+    B, N, h, d = q.shape
+    Np = _round_up(N, 64)
+    Dp = _round_up(d, 64)
+
+    def pad_bhnd(t):
+        t = t.transpose(0, 2, 1, 3)  # [B,h,N,d]
+        return jnp.pad(t, ((0, 0), (0, 0), (0, Np - N), (0, Dp - d))).astype(jnp.bfloat16)
+
+    qp, kp, vp = pad_bhnd(q), pad_bhnd(k), pad_bhnd(v)
+    bias_p = jnp.pad(
+        bias.astype(jnp.float32),
+        ((0, 0), (0, Np - N), (0, Np - N)),
+        constant_values=0.0,
+    )
+    if Np > N:  # mask padded KEY columns out of the softmax
+        col_mask = (jnp.arange(Np) >= N)[None, None, :]
+        bias_p = jnp.where(col_mask, _NEG_INF, bias_p)
+    out = fused_window_attention(qp, kp, vp, bias_p, scale=scale, interpret=interpret)
+    out = out[:, :, :N, :d].transpose(0, 2, 1, 3)  # [B,N,h,d]
+    return out.astype(q.dtype).reshape(B, N, h * d)
+
+
+def window_mhsa(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: jnp.ndarray,
+    *,
+    scale: float,
+    train: bool = False,
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
+    """Dispatch: fused Pallas kernel for TPU inference, XLA otherwise."""
+    if use_pallas is None:
+        use_pallas = use_pallas_default()
+    if train or not use_pallas:
+        return window_mhsa_xla(q, k, v, bias, scale=scale)
+    return window_mhsa_pallas(q, k, v, bias, scale=scale)
