@@ -93,6 +93,7 @@ def build_train_job(
         ),
         resume_auto=_parse_resume(train_cfg.get("resume")),
         seed=config.get("seed"),
+        profile_dir=config.get("profile_dir"),
         train_toggles=resolve_transform_mapping(model_cfg, "train"),
         eval_toggles=resolve_transform_mapping(model_cfg, "eval"),
         mesh_data=mesh_data,

@@ -82,6 +82,9 @@ class TrainJob:
     mesh_data: int = -1
     mesh_model: int = 1
     compute_dtype: Any = jnp.bfloat16
+    # optional jax.profiler trace output (SURVEY.md §5.1 — the reference has
+    # only wall-clock img/s; this adds real device profiling)
+    profile_dir: str | None = None
 
 
 @dataclass
@@ -122,6 +125,18 @@ def evaluate(
 
 
 def run_training(job: TrainJob) -> TrainResult:
+    if job.profile_dir:
+        import jax.profiler
+
+        jax.profiler.start_trace(job.profile_dir)
+        try:
+            return _run_training(job)
+        finally:
+            jax.profiler.stop_trace()
+    return _run_training(job)
+
+
+def _run_training(job: TrainJob) -> TrainResult:
     recipe = job.spec.recipe
     apply_seed(job.seed)
     key = root_key(job.seed)
