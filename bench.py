@@ -69,18 +69,79 @@ def bench_eval(
     return best
 
 
+def bench_train(
+    model_name: str = "efficientnet_b3",
+    batch: int = 128,
+    steps: int = 10,
+    img_size: int = 224,
+) -> float:
+    """Train-step throughput (fwd+bwd+AdamW update), on-device scan loop."""
+    from deepfakedetection_tpu.registry import get_model_spec
+    from deepfakedetection_tpu.train.optim import make_phase_optimizer
+    from deepfakedetection_tpu.train.steps import (
+        TrainState,
+        init_model_variables,
+        make_train_step_fn,
+    )
+
+    spec = get_model_spec(model_name)
+    model = spec.builder(2, dtype=jnp.bfloat16)
+    params, batch_stats = init_model_variables(
+        model, jax.random.key(0), (1, img_size, img_size, 3)
+    )
+    tx, _, _ = make_phase_optimizer(
+        params, lr=1e-4, weight_decay=5e-2, trainable=lambda _: True
+    )
+    state = TrainState(
+        params=params, batch_stats=batch_stats, opt_state=tx.init(params),
+        step=jnp.asarray(0, jnp.int32),
+    )
+    step_fn = make_train_step_fn(model, tx)
+    base = jnp.ones((batch, img_size, img_size, 3), jnp.bfloat16)
+    labels = jnp.zeros((batch,), jnp.int32)
+    mask = jnp.ones((batch,), bool)
+    key = jax.random.key(1)
+
+    @functools.partial(jax.jit, static_argnames=("n",), donate_argnums=(0,))
+    def loop(state, seed, n):
+        def body(st, i):
+            x = base + (seed + i).astype(jnp.bfloat16) * 1e-6
+            st, metrics = step_fn(st, x, labels, mask, key)
+            return st, metrics["loss"]
+
+        st, losses = jax.lax.scan(body, state, jnp.arange(n))
+        return st, losses[-1]
+
+    state, loss = loop(state, jnp.int32(0), steps)  # compile
+    float(loss)
+    t0 = time.perf_counter()
+    state, loss = loop(state, jnp.int32(7), steps)
+    float(loss)
+    dt = time.perf_counter() - t0
+    return batch * steps / dt
+
+
 def main() -> None:
+    from deepfakedetection_tpu.runtime.compile_cache import enable as enable_compile_cache
+
+    enable_compile_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", default="efficientnet_b3")
     parser.add_argument("--batch", type=int, default=512)
     parser.add_argument("--steps", type=int, default=30)
+    parser.add_argument("--mode", choices=["eval", "train"], default="eval")
     args = parser.parse_args()
 
-    img_s = bench_eval(args.model, args.batch, args.steps)
+    if args.mode == "train":
+        img_s = bench_train(args.model, min(args.batch, 128), max(args.steps // 3, 5))
+        metric = f"train_throughput_224px_{args.model}"
+    else:
+        img_s = bench_eval(args.model, args.batch, args.steps)
+        metric = f"eval_throughput_224px_{args.model}"
     print(
         json.dumps(
             {
-                "metric": f"eval_throughput_224px_{args.model}",
+                "metric": metric,
                 "value": round(img_s, 1),
                 "unit": "img/s/chip",
                 "vs_baseline": round(img_s / BASELINE_IMG_S, 3),

@@ -62,6 +62,49 @@ class EvalResult:
     preds: np.ndarray
 
 
+_WEIGHTS_RELEASE_BASE = (
+    "https://github.com/thourihan/DeepfakeDetection/releases/download/v0.3.0/"
+)
+# released reference checkpoints — loadable here via runtime/torch_convert.py
+_WEIGHTS_NAME_MAP = {
+    "efficientnet_b3": "efficientnet_b3_v0.3.0.pth",
+    "efficientformerv2_s1": "efficientformerv2_s1_v0.3.0.pth",
+    "faster_vit_2_224": "faster_vit_2_224_v0.3.0.pth",
+}
+
+
+def _maybe_download_weights(model_name: str, wpath: Path) -> None:
+    """Interactive GitHub-release download for missing weights
+    (reference: orchestrator.py:477-502). Non-interactive runs skip unless
+    DFD_AUTO_DOWNLOAD=1."""
+    import os
+    import sys
+
+    asset = _WEIGHTS_NAME_MAP.get(model_name)
+    if asset is None:
+        return
+    if os.environ.get("DFD_AUTO_DOWNLOAD") == "1":
+        answer = "y"
+    elif getattr(sys.stdin, "isatty", lambda: False)():
+        answer = (
+            input(f"Missing weights at '{wpath}'. Download from GitHub Releases? [Y/N]: ")
+            .strip()
+            .lower()
+        )
+    else:
+        return
+    if answer != "y":
+        return
+    import urllib.request
+
+    wpath.parent.mkdir(parents=True, exist_ok=True)
+    try:
+        urllib.request.urlretrieve(_WEIGHTS_RELEASE_BASE + asset, str(wpath))
+        console.print(f"  downloaded {asset} → {wpath}")
+    except Exception as exc:  # zero-egress / offline environments
+        console.print(f"[yellow]⚠ download failed: {exc}[/]")
+
+
 def load_model_for_eval(job: EvalJob):
     """Build + init the model, then load weights (strict=False tolerant)."""
     model = job.spec.builder(job.num_classes, dtype=job.compute_dtype)
@@ -70,6 +113,8 @@ def load_model_for_eval(job: EvalJob):
     )
     if job.weights is not None:
         wpath = Path(job.weights)
+        if not wpath.exists():
+            _maybe_download_weights(job.model_name, wpath)
         if wpath.exists():
             target = {"params": jax.device_get(params), "batch_stats": jax.device_get(batch_stats)}
             restored, unmatched = ckpt.load_weights(

@@ -139,6 +139,9 @@ def build_eval_job(
 
 
 def orchestrate(config_path: str | Path, mode: str = "training") -> None:
+    from deepfakedetection_tpu.runtime.compile_cache import enable as enable_compile_cache
+
+    enable_compile_cache()
     config_path = Path(config_path)
     config = load_config(config_path)
     apply_seed(config.get("seed"))

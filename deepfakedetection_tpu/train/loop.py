@@ -125,15 +125,20 @@ def evaluate(
 
 
 def run_training(job: TrainJob) -> TrainResult:
-    if job.profile_dir:
-        import jax.profiler
+    from deepfakedetection_tpu.runtime.logging import tee_output
 
-        jax.profiler.start_trace(job.profile_dir)
-        try:
-            return _run_training(job)
-        finally:
-            jax.profiler.stop_trace()
-    return _run_training(job)
+    # trainer console tees into the run's log file, mirroring the reference's
+    # LOG_PATH tee (train_env.py:49-95, orchestrator.py:301-303)
+    with tee_output(job.run_paths.logs / "train.log"):
+        if job.profile_dir:
+            import jax.profiler
+
+            jax.profiler.start_trace(job.profile_dir)
+            try:
+                return _run_training(job)
+            finally:
+                jax.profiler.stop_trace()
+        return _run_training(job)
 
 
 def _run_training(job: TrainJob) -> TrainResult:
@@ -182,6 +187,11 @@ def _run_training(job: TrainJob) -> TrainResult:
     # fold micro-batch accumulation into one device batch (same effective
     # batch as the reference's micro-batch×accum loop, efficientnet.py:477-485)
     ft_batch = micro * accum
+    # clamp for small datasets (otherwise drop_last eats every batch) and
+    # keep the batch divisible by the data-mesh axis
+    if ft_batch > len(train_ds):
+        ft_batch = max((len(train_ds) // micro) * micro, micro)
+    ft_batch = max((ft_batch // n_data) * n_data, n_data)
     patience = (
         job.early_stop_patience
         if job.early_stop_patience is not None

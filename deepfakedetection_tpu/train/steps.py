@@ -45,10 +45,9 @@ def init_model_variables(model, rng, input_shape: tuple[int, ...]):
     return params, batch_stats
 
 
-def make_train_step(model, tx, *, label_smoothing: float = 0.1):
-    """Build the donated, jitted train step for one phase."""
+def make_train_step_fn(model, tx, *, label_smoothing: float = 0.1):
+    """The raw (unjitted) train step — reusable inside lax.scan (bench)."""
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, images, labels, mask, key):
         step_key = jax.random.fold_in(key, state.step)
         k_drop, k_path = jax.random.split(step_key)
@@ -82,6 +81,12 @@ def make_train_step(model, tx, *, label_smoothing: float = 0.1):
         return new_state, metrics
 
     return train_step
+
+
+def make_train_step(model, tx, *, label_smoothing: float = 0.1):
+    """Build the donated, jitted train step for one phase."""
+    step = make_train_step_fn(model, tx, label_smoothing=label_smoothing)
+    return functools.partial(jax.jit, donate_argnums=(0,))(step)
 
 
 def make_eval_step(model):
