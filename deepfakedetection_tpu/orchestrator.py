@@ -94,6 +94,7 @@ def build_train_job(
         resume_auto=_parse_resume(train_cfg.get("resume")),
         seed=config.get("seed"),
         profile_dir=config.get("profile_dir"),
+        remat=bool(train_cfg.get("remat", False)),
         train_toggles=resolve_transform_mapping(model_cfg, "train"),
         eval_toggles=resolve_transform_mapping(model_cfg, "eval"),
         mesh_data=mesh_data,
@@ -139,9 +140,11 @@ def build_eval_job(
 
 
 def orchestrate(config_path: str | Path, mode: str = "training") -> None:
+    from deepfakedetection_tpu.parallel.multihost import maybe_initialize
     from deepfakedetection_tpu.runtime.compile_cache import enable as enable_compile_cache
 
     enable_compile_cache()
+    maybe_initialize()
     config_path = Path(config_path)
     config = load_config(config_path)
     apply_seed(config.get("seed"))

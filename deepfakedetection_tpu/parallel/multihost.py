@@ -1,0 +1,42 @@
+"""Multi-host (pod) support.
+
+The reference is strictly single-process (SURVEY.md §2.x). On TPU pods, JAX
+runs one process per host: initialize the distributed runtime, build the
+mesh over all global devices (ICI within a slice, DCN across), and shard the
+input pipeline by process. Single-host behavior is unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+_initialized = False
+
+
+def maybe_initialize() -> None:
+    """Initialize jax.distributed on pods. No-op single-host / already-init.
+
+    Opt-in via DFD_MULTIHOST=1 (TPU pod environments auto-detect coordinator
+    config from the TPU metadata), or automatic when JAX_COORDINATOR_ADDRESS
+    is set explicitly.
+    """
+    global _initialized
+    if _initialized:
+        return
+    if os.environ.get("DFD_MULTIHOST") == "1" or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    ):
+        jax.distributed.initialize()
+        _initialized = True
+
+
+def process_shard(n_items: int) -> tuple[int, int]:
+    """[start, end) of this process's contiguous shard of a sample list."""
+    pc = jax.process_count()
+    pi = jax.process_index()
+    per = n_items // pc
+    start = pi * per
+    end = start + per if pi < pc - 1 else n_items
+    return start, end

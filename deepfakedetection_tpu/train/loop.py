@@ -85,6 +85,8 @@ class TrainJob:
     # optional jax.profiler trace output (SURVEY.md §5.1 — the reference has
     # only wall-clock img/s; this adds real device profiling)
     profile_dir: str | None = None
+    # rematerialize activations in backward (jax.checkpoint) for HBM headroom
+    remat: bool = False
 
 
 @dataclass
@@ -287,7 +289,9 @@ def _run_training(job: TrainJob) -> TrainResult:
             opt_state=wu_tx.init(ft_state.params),
             step=jnp.asarray(0, jnp.int32),
         )
-        wu_step = make_train_step(model, wu_tx, label_smoothing=recipe.label_smoothing)
+        wu_step = make_train_step(
+            model, wu_tx, label_smoothing=recipe.label_smoothing, remat=job.remat
+        )
         wu_loader = make_train_loader(
             train_ds, train_plan, batch_size=job.batch_size, seed=job.seed,
             num_workers=job.num_workers,
@@ -314,7 +318,9 @@ def _run_training(job: TrainJob) -> TrainResult:
         f"(micro {micro} × accum {accum}) lr={ft_lr} "
         f"trainable={n_train}/{n_total} tensors"
     )
-    ft_step = make_train_step(model, ft_tx, label_smoothing=recipe.label_smoothing)
+    ft_step = make_train_step(
+        model, ft_tx, label_smoothing=recipe.label_smoothing, remat=job.remat
+    )
     ft_loader = make_train_loader(
         train_ds, train_plan, batch_size=ft_batch, seed=job.seed,
         num_workers=job.num_workers,

@@ -45,21 +45,32 @@ def init_model_variables(model, rng, input_shape: tuple[int, ...]):
     return params, batch_stats
 
 
-def make_train_step_fn(model, tx, *, label_smoothing: float = 0.1):
-    """The raw (unjitted) train step — reusable inside lax.scan (bench)."""
+def make_train_step_fn(model, tx, *, label_smoothing: float = 0.1, remat: bool = False):
+    """The raw (unjitted) train step — reusable inside lax.scan (bench).
+
+    ``remat=True`` wraps the forward in jax.checkpoint: activations are
+    recomputed in the backward pass, trading ~30% step FLOPs for activation
+    memory (lets much larger per-chip batches fit HBM).
+    """
 
     def train_step(state: TrainState, images, labels, mask, key):
         step_key = jax.random.fold_in(key, state.step)
         k_drop, k_path = jax.random.split(step_key)
 
-        def loss_fn(params):
-            outputs, mutated = model.apply(
+        def forward(params, images):
+            return model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 images,
                 train=True,
                 mutable=["batch_stats"],
                 rngs={"dropout": k_drop, "droppath": k_path},
             )
+
+        if remat:
+            forward = jax.checkpoint(forward)
+
+        def loss_fn(params):
+            outputs, mutated = forward(params, images)
             loss = smoothed_cross_entropy(
                 outputs, labels, mask, label_smoothing=label_smoothing
             )
@@ -83,9 +94,9 @@ def make_train_step_fn(model, tx, *, label_smoothing: float = 0.1):
     return train_step
 
 
-def make_train_step(model, tx, *, label_smoothing: float = 0.1):
+def make_train_step(model, tx, *, label_smoothing: float = 0.1, remat: bool = False):
     """Build the donated, jitted train step for one phase."""
-    step = make_train_step_fn(model, tx, label_smoothing=label_smoothing)
+    step = make_train_step_fn(model, tx, label_smoothing=label_smoothing, remat=remat)
     return functools.partial(jax.jit, donate_argnums=(0,))(step)
 
 
