@@ -1,0 +1,93 @@
+"""Orchestrator behavior: job construction from YAML, selection handling,
+run-dir/snapshot surface, resume parsing."""
+
+import yaml
+
+from deepfakedetection_tpu.orchestrator import (
+    _parse_resume,
+    build_eval_job,
+    build_train_job,
+)
+from deepfakedetection_tpu.runtime.paths import ensure_run_dirs, snapshot_config
+
+
+def _config(tmp_path):
+    return {
+        "seed": 7,
+        "device": "tpu",
+        "data": {
+            "root": str(tmp_path / "data"),
+            "train_split": "train",
+            "val_split": "val",
+            "test_split": "test",
+            "num_classes": 2,
+            "img_size": 224,
+        },
+        "models": {
+            "efficientnet_b3": {
+                "output_dir": str(tmp_path / "runs/enet"),
+                "training": {
+                    "epochs": 3,
+                    "batch_size": 32,
+                    "num_workers": 2,
+                    "resume": "auto",
+                    "lr": 5e-5,
+                    "accum_steps": 2,
+                },
+                "inference": {
+                    "weights": str(tmp_path / "w.pth"),
+                    "split": "test",
+                    "batch_size": 128,
+                    "img_size": 192,
+                },
+                "transforms": {
+                    "train": {"train_random_rotation": False},
+                    "eval": {"val_resize": True},
+                },
+            }
+        },
+        "selection": ["efficientnet_b3"],
+    }
+
+
+def test_build_train_job_from_yaml(tmp_path):
+    cfg = _config(tmp_path)
+    run_paths = ensure_run_dirs(tmp_path / "runs/enet", run_id="t")
+    mc = dict(cfg["models"]["efficientnet_b3"], name="efficientnet_b3")
+    job = build_train_job(cfg, "efficientnet_b3", mc, run_paths)
+    assert job.epochs == 3 and job.batch_size == 32
+    assert job.lr == 5e-5 and job.accum_steps == 2
+    assert job.resume_auto is True
+    assert job.img_size == 224  # data img_size (no training override)
+    assert job.seed == 7
+    assert job.train_toggles == {"train_random_rotation": False}
+
+
+def test_build_eval_job_img_size_chain(tmp_path):
+    cfg = _config(tmp_path)
+    run_paths = ensure_run_dirs(tmp_path / "runs/enet", run_id="e")
+    mc = dict(cfg["models"]["efficientnet_b3"], name="efficientnet_b3")
+    job = build_eval_job(cfg, "efficientnet_b3", mc, run_paths)
+    assert job.img_size == 192  # inference overrides data (orchestrator.py:250-276)
+    assert job.batch_size == 128 and job.split == "test"
+    assert str(job.weights).endswith("w.pth")
+
+
+def test_parse_resume_reference_semantics():
+    # training.resume ∈ {1, true, "auto"} (orchestrator.py:246-249)
+    assert _parse_resume("auto") and _parse_resume(True) and _parse_resume(1)
+    assert _parse_resume("TRUE") and _parse_resume("yes")
+    assert not _parse_resume(False) and not _parse_resume(None)
+    assert not _parse_resume("no") and not _parse_resume(0)
+
+
+def test_snapshot_config_contents(tmp_path):
+    cfg = _config(tmp_path)
+    run_paths = ensure_run_dirs(tmp_path / "runs/enet", run_id="s")
+    out = snapshot_config(cfg, "efficientnet_b3", run_paths)
+    snap = yaml.safe_load(out.read_text())
+    # globals minus models/selection + the model block (orchestrator.py:148-159)
+    assert "models" not in snap and "selection" not in snap
+    assert snap["seed"] == 7
+    assert snap["model"]["name"] == "efficientnet_b3"
+    assert snap["model"]["training"]["epochs"] == 3
