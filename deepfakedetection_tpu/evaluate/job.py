@@ -162,6 +162,8 @@ def _run_eval_job(job: EvalJob) -> EvalResult | None:
         f"[bold]Model[/]: {job.model_name} | split={job.split} | batch={job.batch_size}"
     )
     mesh = make_mesh(job.mesh_data, job.mesh_model)
+    # batch must divide over the data axis; round up (pad+mask absorbs)
+    job.batch_size = -(-job.batch_size // mesh.shape["data"]) * mesh.shape["data"]
     model, params, batch_stats = load_model_for_eval(job)
     eval_step = make_eval_step(model)
     plan = build_eval_plan(job.img_size, job.eval_toggles)

@@ -111,7 +111,8 @@ class SqueezeExcite(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        se = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True).astype(self.dtype)
+        # f32-accumulated reduction without materializing an f32 copy
+        se = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32).astype(self.dtype)
         se = nn.Conv(self.reduced_features, (1, 1), dtype=self.dtype, name="reduce")(se)
         se = self.act(se)
         se = nn.Conv(x.shape[-1], (1, 1), dtype=self.dtype, name="expand")(se)

@@ -165,6 +165,8 @@ def _run_training(job: TrainJob) -> TrainResult:
 
     mesh = make_mesh(job.mesh_data, job.mesh_model)
     n_data = mesh.shape["data"]
+    # batch sizes must divide over the data axis; round up (pad+mask absorbs)
+    job.batch_size = -(-job.batch_size // n_data) * n_data
 
     # ----- model ----------------------------------------------------------
     model = job.spec.builder(job.num_classes, dtype=job.compute_dtype)
