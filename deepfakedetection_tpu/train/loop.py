@@ -212,17 +212,27 @@ def _run_training(job: TrainJob) -> TrainResult:
         mask = shard_batch(mesh, jnp.asarray(batch.mask))
         return x, labels, mask
 
+    def device_prefetch(loader, epoch_key, plan):
+        """Stage the next batch's H2D transfer + augmentation while the
+        current train step runs (async dispatch overlaps them)."""
+        staged = None
+        for i, batch in enumerate(loader):
+            nxt = (batch_to_device(batch, jax.random.fold_in(epoch_key, i), plan),
+                   batch.num_valid)
+            if staged is not None:
+                yield staged
+            staged = nxt
+        if staged is not None:
+            yield staged
+
     def train_one_epoch(train_step, state, loader, epoch_key, desc):
         losses = []
         meter = Throughput()
         speed = 0.0
-        for i, batch in enumerate(loader):
-            x, labels, mask = batch_to_device(
-                batch, jax.random.fold_in(epoch_key, i), train_plan
-            )
+        for (x, labels, mask), num_valid in device_prefetch(loader, epoch_key, train_plan):
             state, metrics = train_step(state, x, labels, mask, epoch_key)
             losses.append(metrics["loss"])
-            speed = meter.update(batch.num_valid)
+            speed = meter.update(num_valid)
         mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
         console.print(f"  {desc}: loss={mean_loss:.4f} | {speed:.1f} img/s")
         return state, mean_loss
