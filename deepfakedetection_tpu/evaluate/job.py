@@ -133,20 +133,23 @@ def load_model_for_eval(job: EvalJob):
 
 
 def _collect_probs(eval_step, params, batch_stats, loader, plan, mesh, compute_dtype):
-    probs_list, targets_list = [], []
+    device_probs, masks, targets_list = [], [], []
     meter = Throughput()
     speed = 0.0
     for batch in loader:
         images = shard_batch(mesh, jnp.asarray(batch.images))
         x = normalize_batch(images, plan, out_dtype=compute_dtype)
-        probs = np.asarray(eval_step(params, batch_stats, x))
-        valid = batch.mask
-        probs_list.append(probs[valid])
-        targets_list.append(batch.labels[valid])
-        speed = meter.update(int(valid.sum()))
-    if not probs_list:
+        # keep results on device — dispatch runs ahead of host conversion
+        device_probs.append(eval_step(params, batch_stats, x))
+        masks.append(batch.mask)
+        targets_list.append(batch.labels[batch.mask])
+        speed = meter.update(int(batch.mask.sum()))
+    if not device_probs:
         return np.zeros((0, 2)), np.zeros((0,), np.int64), 0.0
-    return np.concatenate(probs_list), np.concatenate(targets_list), speed
+    probs = np.concatenate(
+        [np.asarray(p)[m] for p, m in zip(device_probs, masks)]
+    )
+    return probs, np.concatenate(targets_list), speed
 
 
 def run_eval_job(job: EvalJob) -> EvalResult | None:

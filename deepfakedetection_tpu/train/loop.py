@@ -109,20 +109,26 @@ def _counters_tree(epoch: int, best_val_acc: float, best_epoch: int, warmup_done
 def evaluate(
     eval_step, params, batch_stats, loader, plan, *, mesh, compute_dtype
 ) -> tuple[float, float]:
-    """(accuracy, img/s) over a loader. Softmax on device, masking on host."""
-    correct = 0
-    total = 0
+    """(accuracy, img/s) over a loader. Softmax on device, masking on host.
+
+    Device results stay un-fetched until the end so dispatch runs ahead of
+    host-side decode (async pipeline)."""
+    device_probs, masks, labels = [], [], []
     meter = Throughput()
     speed = 0.0
     for batch in loader:
         images = shard_batch(mesh, jnp.asarray(batch.images))
         x = normalize_batch(images, plan, out_dtype=compute_dtype)
-        probs = np.asarray(eval_step(params, batch_stats, x))
-        preds = probs.argmax(axis=-1)
-        valid = batch.mask
-        correct += int((preds[valid] == batch.labels[valid]).sum())
+        device_probs.append(eval_step(params, batch_stats, x))
+        masks.append(batch.mask)
+        labels.append(batch.labels)
+        speed = meter.update(int(batch.mask.sum()))
+    correct = 0
+    total = 0
+    for probs, valid, lab in zip(device_probs, masks, labels):
+        preds = np.asarray(probs).argmax(axis=-1)
+        correct += int((preds[valid] == lab[valid]).sum())
         total += int(valid.sum())
-        speed = meter.update(int(valid.sum()))
     return (correct / max(total, 1)), speed
 
 
