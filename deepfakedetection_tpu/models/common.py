@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 from collections.abc import Callable
 from typing import Any
 
@@ -10,6 +12,64 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 Dtype = Any
+
+# Trace-time BatchNorm momentum override. Used by BN recalibration
+# (train/steps.py): tracing a stats-only step with momentum 0 makes the
+# mutated running stats EQUAL the batch statistics, so fresh stats can be
+# averaged over a few batches instead of crawling there at momentum 0.99.
+_BN_MOMENTUM_OVERRIDE: contextvars.ContextVar[float | None] = contextvars.ContextVar(
+    "bn_momentum_override", default=None
+)
+
+
+@contextlib.contextmanager
+def bn_momentum_override(value: float | None):
+    token = _BN_MOMENTUM_OVERRIDE.set(value)
+    try:
+        yield
+    finally:
+        _BN_MOMENTUM_OVERRIDE.reset(token)
+
+
+def effective_bn_momentum(default: float) -> float:
+    override = _BN_MOMENTUM_OVERRIDE.get()
+    return default if override is None else override
+
+
+class BatchNorm2d(nn.Module):
+    """Standalone BatchNorm over NHWC (f32 stats, override-aware momentum).
+
+    Drop-in for flax nn.BatchNorm where a bare norm is needed (stage outputs);
+    sharing the ConvBN stat machinery keeps recalibration uniform.
+    """
+
+    momentum: float = 0.99
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, use_running_average: bool = True) -> jnp.ndarray:
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((features,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((features,), jnp.float32)
+        )
+        y = x.astype(jnp.float32)
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(y.ndim - 1))
+            mean = jnp.mean(y, axis=axes)
+            var = jnp.var(y, axis=axes)
+            m = effective_bn_momentum(self.momentum)
+            ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+            ra_var.value = m * ra_var.value + (1.0 - m) * var
+        y = (y - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        return y
 
 
 class ConvBN(nn.Module):
@@ -89,12 +149,9 @@ class ConvBN(nn.Module):
             axes = (0, 1, 2)
             mean = jnp.mean(y, axis=axes)
             var = jnp.var(y, axis=axes)
-            ra_mean.value = (
-                self.bn_momentum * ra_mean.value + (1.0 - self.bn_momentum) * mean
-            )
-            ra_var.value = (
-                self.bn_momentum * ra_var.value + (1.0 - self.bn_momentum) * var
-            )
+            m = effective_bn_momentum(self.bn_momentum)
+            ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+            ra_var.value = m * ra_var.value + (1.0 - m) * var
             y = (y - mean) * jax.lax.rsqrt(var + self.bn_epsilon) * scale + bias
         if self.act is not None:
             y = self.act(y)

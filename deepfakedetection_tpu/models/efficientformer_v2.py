@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from deepfakedetection_tpu.models.common import ConvBN, DropPath
+from deepfakedetection_tpu.models.common import BatchNorm2d, ConvBN, DropPath
 
 # variant: (widths, depths, vit_num, expansion tables)
 _VARIANTS: dict[str, dict[str, Any]] = {
@@ -342,9 +342,9 @@ class EfficientFormerV2(nn.Module):
                 )(x, ffn_out, train)
                 block_counter += 1
 
-        x = nn.BatchNorm(
-            use_running_average=not train, dtype=jnp.float32, name="norm_out"
-        )(x)
+        x = BatchNorm2d(dtype=self.dtype, name="norm_out")(
+            x, use_running_average=not train
+        )
         self.sow("intermediates", "cam_features", x)
         x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
         # dual heads averaged (timm efficientformerv2 eval behavior)

@@ -30,7 +30,7 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from deepfakedetection_tpu.models.common import ConvBN, DropPath, Mlp
+from deepfakedetection_tpu.models.common import BatchNorm2d, ConvBN, DropPath, Mlp
 
 _VARIANTS: dict[str, dict[str, Any]] = {
     "0": {"dim": 64, "in_dim": 64, "depths": (2, 3, 6, 5), "num_heads": (2, 4, 8, 16)},
@@ -345,9 +345,9 @@ class FasterViT(nn.Module):
             )(tokens, train)
         x = tokens.reshape(B, H, W, dim)
 
-        x = nn.BatchNorm(
-            use_running_average=not train, dtype=jnp.float32, name="norm_out"
-        )(x)
+        x = BatchNorm2d(dtype=self.dtype, name="norm_out")(
+            x, use_running_average=not train
+        )
         self.sow("intermediates", "cam_features", x)
         x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
         return nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(x)

@@ -87,6 +87,10 @@ class TrainJob:
     profile_dir: str | None = None
     # rematerialize activations in backward (jax.checkpoint) for HBM headroom
     remat: bool = False
+    # precise-BN recalibration over K train batches before each validation
+    # (0 = reference behavior; short fine-tunes benefit — momentum-0.99
+    # running stats lag far behind the trained weights otherwise)
+    bn_recalc_batches: int = 0
 
 
 @dataclass
@@ -346,12 +350,33 @@ def _run_training(job: TrainJob) -> TrainResult:
 
     epochs_without_improvement = 0
     epoch = start_epoch - 1
+    def maybe_recalibrate(state, epoch):
+        if job.bn_recalc_batches <= 0:
+            return state
+        from deepfakedetection_tpu.train.steps import recalibrate_bn
+
+        recalc_key = jax.random.fold_in(key, 30_000 + epoch)
+
+        def batches():
+            ft_loader.set_epoch(90_000 + epoch)
+            for i, batch in enumerate(ft_loader):
+                if i >= job.bn_recalc_batches:
+                    return
+                x, _, _ = batch_to_device(
+                    batch, jax.random.fold_in(recalc_key, i), train_plan
+                )
+                yield x
+
+        fresh = recalibrate_bn(model, state.params, state.batch_stats, batches(), recalc_key)
+        return state.replace(batch_stats=fresh)
+
     for epoch in range(start_epoch, epochs):
         ft_loader.set_epoch(epoch)
         epoch_key = jax.random.fold_in(key, 20_000 + epoch)
         ft_state, final_loss = train_one_epoch(
             ft_step, ft_state, ft_loader, epoch_key, f"epoch {epoch + 1}/{epochs}"
         )
+        ft_state = maybe_recalibrate(ft_state, epoch)
         acc, espeed = evaluate(
             eval_step, ft_state.params, ft_state.batch_stats, eval_loader,
             eval_plan, mesh=mesh, compute_dtype=job.compute_dtype,

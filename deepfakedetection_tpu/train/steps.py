@@ -100,6 +100,78 @@ def make_train_step(model, tx, *, label_smoothing: float = 0.1, remat: bool = Fa
     return functools.partial(jax.jit, donate_argnums=(0,))(step)
 
 
+def recalibrate_bn(model, params, batch_stats, batch_iter, key):
+    """Precise-BN recalibration: replace running statistics with pooled
+    fresh statistics over the given batches.
+
+    Short fine-tunes never converge running stats at momentum 0.99 (the
+    reference inherits the same lag); this computes exact per-batch stats
+    (momentum-0 trace → mutated stats == batch stats) and pools them:
+    mean = E[mean_k], var = E[var_k] + Var[mean_k].
+    """
+    from deepfakedetection_tpu.models.common import bn_momentum_override
+
+    with bn_momentum_override(0.0):
+
+        @jax.jit
+        def stats_step(params, batch_stats, images, k):
+            k1, k2 = jax.random.split(k)
+            _, mutated = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                images,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": k1, "droppath": k2},
+            )
+            return mutated["batch_stats"]
+
+        sum_tree = None
+        sum_sq_mean = None
+        count = 0
+        for i, images in enumerate(batch_iter):
+            fresh = stats_step(params, batch_stats, images, jax.random.fold_in(key, i))
+            if sum_tree is None:
+                sum_tree = fresh
+                sum_sq_mean = jax.tree.map(lambda x: x * x, fresh)
+            else:
+                sum_tree = jax.tree.map(jnp.add, sum_tree, fresh)
+                sum_sq_mean = jax.tree.map(
+                    lambda acc, x: acc + x * x, sum_sq_mean, fresh
+                )
+            count += 1
+    if count == 0:
+        return batch_stats
+
+    avg = jax.tree.map(lambda s: s / count, sum_tree)
+    avg_sq = jax.tree.map(lambda s: s / count, sum_sq_mean)
+
+    # walk scopes: each BN scope holds exactly {mean, var}; var leaves get
+    # the between-batch mean-variance correction
+    def _correct(avg_node, avg_sq_node):
+        if isinstance(avg_node, dict):
+            out = {}
+            if set(avg_node.keys()) >= {"mean", "var"} and not isinstance(
+                avg_node["mean"], dict
+            ):
+                mean_avg = avg_node["mean"]
+                out["mean"] = mean_avg
+                out["var"] = avg_node["var"] + (avg_sq_node["mean"] - mean_avg * mean_avg)
+                for k in avg_node:
+                    if k not in ("mean", "var"):
+                        out[k] = _correct(avg_node[k], avg_sq_node[k])
+                return out
+            return {k: _correct(avg_node[k], avg_sq_node[k]) for k in avg_node}
+        return avg_node
+
+    plain = jax.device_get(avg)
+    plain_sq = jax.device_get(avg_sq)
+    import flax
+
+    avg_dict = flax.core.unfreeze(plain) if hasattr(plain, "unfreeze") else plain
+    sq_dict = flax.core.unfreeze(plain_sq) if hasattr(plain_sq, "unfreeze") else plain_sq
+    return _correct(avg_dict, sq_dict)
+
+
 def make_eval_step(model):
     """Jitted eval step returning f32 softmax probs (reference computes
     softmax then argmax/threshold on host, orchestrator.py:589-607)."""

@@ -15,9 +15,11 @@ class TinyCNN(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x.astype(self.dtype)
+        from deepfakedetection_tpu.models.common import BatchNorm2d
+
         x = nn.Conv(8, (3, 3), strides=(2, 2), dtype=self.dtype, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32, name="bn1")(x)
-        x = nn.relu(x)
+        x = BatchNorm2d(dtype=self.dtype, name="bn1")(x, use_running_average=not train)
+        x = nn.relu(x).astype(self.dtype)
         x = nn.Conv(16, (3, 3), strides=(2, 2), dtype=self.dtype, name="conv2")(x)
         x = nn.relu(x)
         self.sow("intermediates", "cam_features", x)
