@@ -41,6 +41,28 @@ def test_compute_cam_range_and_shape():
     assert cam.min() >= 0.0 and cam.max() <= 1.0 + 1e-6
 
 
+def test_head_replay_dual_heads_efficientformer():
+    """EFv2 averages head + head_dist; the replay must match the model."""
+    from deepfakedetection_tpu.models.efficientformer_v2 import create_efficientformer_v2
+
+    model = create_efficientformer_v2("s0", num_classes=3, dtype=jnp.float32)
+    params_vars = jax.jit(
+        lambda k: model.init({"params": k}, jnp.zeros((1, 224, 224, 3)), train=False)
+    )(jax.random.key(0))
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 224, 224, 3)), jnp.float32)
+    logits, inter = jax.jit(
+        lambda v, x: model.apply(v, x, train=False, mutable=["intermediates"])
+    )(params_vars, x)
+    feats = jax.tree.leaves(inter["intermediates"])[0]
+    replay = head_logits(params_vars["params"], feats)
+    np.testing.assert_allclose(np.asarray(replay), np.asarray(logits), atol=1e-4)
+    cam = np.asarray(
+        compute_cam(model, params_vars["params"], params_vars.get("batch_stats", {}), x, 1)
+    )
+    assert cam.shape == (1, 224, 224)
+    assert cam.min() >= 0.0 and cam.max() <= 1.0 + 1e-6
+
+
 def test_jet_and_overlay():
     gray = np.linspace(0, 1, 64).reshape(8, 8)
     jet = jet_colormap(gray)
