@@ -45,6 +45,42 @@ def test_param_shardings_tp_rules():
     assert shardings["bn"]["scale"].spec == P()
 
 
+def test_tensor_parallel_train_step_runs():
+    """dp×tp mesh (4×2): TP-sharded kernels + batch sharding execute a step."""
+    from tests.util import TinyCNN
+    from deepfakedetection_tpu.parallel.mesh import replicated
+    from deepfakedetection_tpu.train.optim import make_phase_optimizer
+    from deepfakedetection_tpu.train.steps import (
+        TrainState,
+        init_model_variables,
+        make_train_step,
+    )
+
+    mesh = make_mesh(data=4, model=2)
+    model = TinyCNN(num_classes=2, dtype=jnp.float32)
+    params, batch_stats = init_model_variables(model, jax.random.key(0), (1, 16, 16, 3))
+    tx, _, _ = make_phase_optimizer(
+        params, lr=1e-3, weight_decay=0.0, trainable=lambda _: True
+    )
+    p_shard = param_shardings(mesh, params)
+    params = jax.tree.map(jax.device_put, params, p_shard)
+    # TinyCNN head kernel [16, 2]: 2 not divisible by model axis → replicated;
+    # conv2 kernel [3,3,8,16]: 16 % 2 == 0 → sharded over "model"
+    assert p_shard["conv2"]["kernel"].spec == P(None, None, None, "model")
+    state = TrainState(
+        params=params,
+        batch_stats=jax.device_put(batch_stats, replicated(mesh)),
+        opt_state=jax.device_put(tx.init(params), replicated(mesh)),
+        step=jax.device_put(jnp.asarray(0, jnp.int32), replicated(mesh)),
+    )
+    x = jax.device_put(jnp.ones((8, 16, 16, 3)), batch_sharding(mesh))
+    labels = jax.device_put(jnp.zeros((8,), jnp.int32), batch_sharding(mesh))
+    mask = jax.device_put(jnp.ones((8,), bool), batch_sharding(mesh))
+    step = make_train_step(model, tx)
+    new_state, metrics = step(state, x, labels, mask, jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_sharded_train_step_matches_single_device():
     """Data-parallel grads == single-device grads on the same global batch."""
     from tests.util import TinyCNN
