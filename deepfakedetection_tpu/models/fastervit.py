@@ -51,7 +51,7 @@ def _tpu_heads(dim: int, official: tuple[int, ...]) -> tuple[int, ...]:
     (4.3k → 6.1k img/s) with identical parameter count.
     """
     heads = []
-    for stage, h in enumerate(official):
+    for stage in range(len(official)):
         stage_dim = dim * (2**stage)
         heads.append(max(stage_dim // 128, 1))
     return tuple(heads)
@@ -197,7 +197,6 @@ class HATBlock(nn.Module):
         """x_windows: [B*nW, win², C]; ct: [B, nW*ct², C] (global CT sequence)."""
         BnW, Nw, C = x_windows.shape
         Bct, Nct_total, _ = ct.shape
-        nW = BnW // Bct
         ct_per_win = self.ct_size * self.ct_size
 
         # 1) carrier tokens attend globally among themselves
@@ -289,7 +288,7 @@ class FasterViT(nn.Module):
         use_ct = H > ws or W > ws
         if use_ct:
             nWh, nWw = H // ws, W // ws
-            ct_h, ct_w = self.ct_size * nWh, self.ct_size * nWw
+            ct_h = self.ct_size * nWh  # square maps: W-side CT count matches
             # tokenizer: abs pos embed + overlapping avg-pool to the CT grid
             pos = self.param(
                 "ct_pos_embed", nn.initializers.normal(0.02), (H, W, dim), jnp.float32

@@ -116,7 +116,7 @@ def rotate_batch(
     3-tap scheme requires |theta| small enough that shifts within an 8-row
     block span < 1px: |tan(theta/2)|*8 < 1 → fine for |theta| ≤ ~0.24 rad.
     """
-    B, H, W, C = imgs.shape
+    _, H, W, _ = imgs.shape
     a = -jnp.tan(thetas / 2.0)
     b = jnp.sin(thetas)
     # worst-case lane shift: |a|*H/2 (x-shears) / |b|*W/2 (y-shear)

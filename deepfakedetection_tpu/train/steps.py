@@ -186,18 +186,3 @@ def make_eval_step(model):
     return eval_step
 
 
-def make_eval_step_with_features(model):
-    """Eval step that also returns the Grad-CAM feature map (intermediates)."""
-
-    @jax.jit
-    def eval_step(params, batch_stats, images):
-        logits, inter = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            images,
-            train=False,
-            mutable=["intermediates"],
-        )
-        feats = jax.tree.leaves(inter["intermediates"])[0]
-        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1), feats
-
-    return eval_step
