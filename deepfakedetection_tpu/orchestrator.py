@@ -41,6 +41,23 @@ def _parse_resume(value: Any) -> bool:
     return False
 
 
+def _apply_device_preference(device: str | None) -> None:
+    """Honor the YAML ``device`` key (reference: orchestrator.py:463-469
+    resolves device with a cuda→cpu fallback; here JAX picks the platform
+    and ``device: cpu`` forces the CPU backend)."""
+    if not device:
+        return
+    import jax
+
+    if device.lower().startswith("cpu"):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            console.print("[yellow]⚠ could not force CPU (backend already initialized)[/]")
+    # "tpu"/"cuda"/anything else: let JAX use the best available backend;
+    # if no accelerator is present JAX falls back to CPU by itself.
+
+
 def _mesh_dims(config: dict[str, Any]) -> tuple[int, int]:
     mesh = config.get("mesh") or {}
     return int(mesh.get("data", -1) or -1), int(mesh.get("model", 1) or 1)
@@ -148,6 +165,7 @@ def orchestrate(config_path: str | Path, mode: str = "training") -> None:
     maybe_initialize()
     config_path = Path(config_path)
     config = load_config(config_path)
+    _apply_device_preference(config.get("device"))
     apply_seed(config.get("seed"))
 
     selection = config.get("selection") or list((config.get("models") or {}).keys())
