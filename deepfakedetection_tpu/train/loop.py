@@ -391,6 +391,24 @@ def _run_training(job: TrainJob) -> TrainResult:
             f"  val acc={acc:.4f} ({espeed:.1f} img/s)"
             + (" [best]" if improved else "")
         )
+        # per-epoch training record in the same append-only metrics surface
+        # the eval job uses (logs/metrics.jsonl, orchestrator.py:645-647)
+        from datetime import datetime
+
+        from deepfakedetection_tpu.runtime.logging import append_metrics
+
+        append_metrics(
+            job.run_paths.logs / "metrics.jsonl",
+            {
+                "model": job.model_name,
+                "split": "val",
+                "epoch": epoch + 1,
+                "train_loss": round(final_loss, 6),
+                "accuracy": acc,
+                "best": improved,
+                "timestamp": datetime.now().isoformat(),
+            },
+        )
 
         # latest.ckpt every epoch (train_env.py:254-278)
         tree = {
