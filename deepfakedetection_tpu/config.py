@@ -99,6 +99,14 @@ class OrchestratorConfig(BaseModel):
             raise ValueError("config.models cannot be empty")
         return value
 
+    @field_validator("precision")
+    @classmethod
+    def _precision_supported(cls, value: str) -> str:
+        allowed = ("bfloat16", "bf16", "float32", "fp32")
+        if str(value).lower() not in allowed:
+            raise ValueError(f"precision must be one of {allowed}, got {value!r}")
+        return value
+
     @model_validator(mode="after")
     def _resolve_selection(self) -> OrchestratorConfig:
         if self.selection is None:

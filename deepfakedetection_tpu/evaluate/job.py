@@ -52,6 +52,8 @@ class EvalJob:
     mesh_data: int = -1
     mesh_model: int = 1
     compute_dtype: Any = jnp.bfloat16
+    # extra builder kwargs (e.g. fastervit head_config: "tpu"|"official")
+    model_kwargs: dict[str, Any] = field(default_factory=dict)
 
 
 @dataclass
@@ -105,16 +107,41 @@ def _maybe_download_weights(model_name: str, wpath: Path) -> None:
         console.print(f"[yellow]⚠ download failed: {exc}[/]")
 
 
+def _is_torch_checkpoint(path: Path) -> bool:
+    with path.open("rb") as f:
+        magic = f.read(2)
+    return magic[:2] == b"PK" or magic[:1] == b"\x80"
+
+
 def load_model_for_eval(job: EvalJob):
-    """Build + init the model, then load weights (strict=False tolerant)."""
-    model = job.spec.builder(job.num_classes, dtype=job.compute_dtype)
+    """Build + init the model, then load weights (strict=False tolerant).
+
+    For FasterViT, a genuine torch ``.pth`` checkpoint implies the wheel's
+    configuration, so ``head_config="official"`` is selected automatically
+    unless the config pinned one (ADVICE r1: the official positional scheme
+    and head grouping change the function — a converted official checkpoint
+    cannot be evaluated correctly through the TPU-mode model).
+    """
+    model_kwargs = dict(job.model_kwargs)
+    wpath = Path(job.weights) if job.weights is not None else None
+    if wpath is not None and not wpath.exists():
+        _maybe_download_weights(job.model_name, wpath)
+    if (
+        job.spec.family == "fastervit"
+        and "head_config" not in model_kwargs
+        and wpath is not None
+        and wpath.exists()
+        and _is_torch_checkpoint(wpath)
+    ):
+        model_kwargs["head_config"] = "official"
+        console.print(
+            "  torch checkpoint detected → faster_vit head_config='official'"
+        )
+    model = job.spec.builder(job.num_classes, dtype=job.compute_dtype, **model_kwargs)
     params, batch_stats = init_model_variables(
         model, jax.random.key(0), (1, job.img_size, job.img_size, 3)
     )
-    if job.weights is not None:
-        wpath = Path(job.weights)
-        if not wpath.exists():
-            _maybe_download_weights(job.model_name, wpath)
+    if wpath is not None:
         if wpath.exists():
             target = {"params": jax.device_get(params), "batch_stats": jax.device_get(batch_stats)}
             restored, unmatched = ckpt.load_weights(

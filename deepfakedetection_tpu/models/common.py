@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import contextlib
 import contextvars
+import functools
 from collections.abc import Callable
 from typing import Any
 
@@ -12,6 +13,11 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 Dtype = Any
+
+# torch nn.GELU defaults to the exact erf form; flax nn.gelu defaults to the
+# tanh approximation (~3e-3 absolute difference near |x|=2, which compounds
+# across ~30 layers). Models whose reference uses nn.GELU must use this.
+gelu_exact = functools.partial(nn.gelu, approximate=False)
 
 # Trace-time BatchNorm momentum override. Used by BN recalibration
 # (train/steps.py): tracing a stats-only step with momentum 0 makes the
@@ -92,6 +98,11 @@ class ConvBN(nn.Module):
     act: Callable | None = None
     bn_momentum: float = 0.9
     bn_epsilon: float = 1e-5
+    # "SAME" (TF-style, matches efficientnet_pytorch's SamePadding convs) or
+    # explicit ((lo,hi),(lo,hi)) pairs. torch Conv2d(k=3, s=2, padding=1) is
+    # symmetric ((1,1),(1,1)) and samples a DIFFERENT grid than SAME on even
+    # inputs — parity with timm/fastervit checkpoints needs the explicit form.
+    padding: Any = "SAME"
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -130,7 +141,7 @@ class ConvBN(nn.Module):
                 inputs,
                 w.astype(self.dtype),
                 window_strides=self.strides,
-                padding="SAME",
+                padding=self.padding,
                 dimension_numbers=dn,
                 feature_group_count=self.groups,
                 preferred_element_type=preferred,

@@ -32,7 +32,16 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from deepfakedetection_tpu.models.common import BatchNorm2d, ConvBN, DropPath
+from deepfakedetection_tpu.models.common import (
+    BatchNorm2d,
+    ConvBN,
+    DropPath,
+    gelu_exact,
+)
+
+# torch Conv2d(kernel=3, stride=2, padding=1): symmetric, unlike TF-SAME —
+# required for grid parity with timm checkpoints on even-sized inputs.
+_PAD1 = ((1, 1), (1, 1))
 
 # variant: (widths, depths, vit_num, expansion tables)
 _VARIANTS: dict[str, dict[str, Any]] = {
@@ -111,27 +120,30 @@ class UnifiedFFN(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         hidden = int(self.dim * self.expansion)
-        h = ConvBN(hidden, (1, 1), act=nn.gelu, dtype=self.dtype, name="fc1")(x, train)
+        h = ConvBN(hidden, (1, 1), act=gelu_exact, dtype=self.dtype, name="fc1")(x, train)
         h = ConvBN(
-            hidden, (3, 3), groups=hidden, act=nn.gelu, dtype=self.dtype, name="mid"
+            hidden, (3, 3), groups=hidden, act=gelu_exact, dtype=self.dtype, name="mid"
         )(h, train)
         h = ConvBN(self.dim, (1, 1), dtype=self.dtype, name="fc2")(h, train)
         return h
 
 
 def _attention_bias_index(resolution: tuple[int, int]) -> tuple[np.ndarray, int]:
-    """Per-pair offset index table for learned attention biases."""
-    points = list(itertools.product(range(resolution[0]), range(resolution[1])))
-    offsets: dict[tuple[int, int], int] = {}
-    idxs = []
-    for p1 in points:
-        for p2 in points:
-            off = (abs(p1[0] - p2[0]), abs(p1[1] - p2[1]))
-            if off not in offsets:
-                offsets[off] = len(offsets)
-            idxs.append(offsets[off])
+    """Per-pair offset index table for learned attention biases.
+
+    timm encoding (efficientformer_v2.py Attention2d): slot = |dy|*W + |dx|,
+    table size H*W — the fixed encoding makes timm bias tables copy through
+    weight conversion without permutation.
+    """
+    h, w = resolution
+    points = list(itertools.product(range(h), range(w)))
+    idxs = [
+        abs(p1[0] - p2[0]) * w + abs(p1[1] - p2[1])
+        for p1 in points
+        for p2 in points
+    ]
     n = len(points)
-    return np.asarray(idxs, np.int32).reshape(n, n), len(offsets)
+    return np.asarray(idxs, np.int32).reshape(n, n), h * w
 
 
 class Attention4D(nn.Module):
@@ -154,7 +166,7 @@ class Attention4D(nn.Module):
         if self.stride > 1:
             x = ConvBN(
                 C, (3, 3), strides=(self.stride, self.stride), groups=C,
-                dtype=self.dtype, name="stride_conv",
+                padding=_PAD1, dtype=self.dtype, name="stride_conv",
             )(x, train)
         B, H, W, _ = x.shape
         N = H * W
@@ -189,36 +201,53 @@ class Attention4D(nn.Module):
         )
         attn = attn + bias[:, idx_table][None]
 
-        # talking heads: 1x1 convs across the head dimension
+        # talking heads: 1x1 convs (with bias, like timm's nn.Conv2d) across
+        # the head dimension
         th1 = self.param(
             "talking_head1", nn.initializers.normal(0.02),
             (self.num_heads, self.num_heads), jnp.float32,
         )
-        attn = jnp.einsum("bhnm,hg->bgnm", attn, th1)
+        th1_b = self.param(
+            "talking_head1_bias", nn.initializers.zeros, (self.num_heads,), jnp.float32
+        )
+        attn = jnp.einsum("bhnm,hg->bgnm", attn, th1) + th1_b[None, :, None, None]
         attn = nn.softmax(attn, axis=-1)
         th2 = self.param(
             "talking_head2", nn.initializers.normal(0.02),
             (self.num_heads, self.num_heads), jnp.float32,
         )
-        attn = jnp.einsum("bhnm,hg->bgnm", attn, th2).astype(self.dtype)
+        th2_b = self.param(
+            "talking_head2_bias", nn.initializers.zeros, (self.num_heads,), jnp.float32
+        )
+        attn = (
+            jnp.einsum("bhnm,hg->bgnm", attn, th2) + th2_b[None, :, None, None]
+        ).astype(self.dtype)
 
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, vh, preferred_element_type=jnp.float32)
         out = out.transpose(0, 2, 1, 3).reshape(B, H, W, dh * self.num_heads)
-        out = out.astype(self.dtype) + v_local
-        out = nn.gelu(out)
-        out = ConvBN(self.dim, (1, 1), dtype=self.dtype, name="proj")(out, train)
+        out = out.astype(jnp.float32) + v_local.astype(jnp.float32)
         if self.stride > 1:
+            # timm order: upsample BEFORE act+proj (act does not commute with
+            # bilinear resize, so parity requires this exact order)
             out = jax.image.resize(
-                out.astype(jnp.float32), (B, H0, W0, out.shape[-1]), method="bilinear"
-            ).astype(self.dtype)
+                out, (B, H0, W0, out.shape[-1]), method="bilinear"
+            )
+        out = gelu_exact(out).astype(self.dtype)
+        out = ConvBN(self.dim, (1, 1), dtype=self.dtype, name="proj")(out, train)
         return out
 
 
 class AttentionDownsample(nn.Module):
-    """Attention-assisted 2x downsample (out = strided-conv(x) + attn branch)."""
+    """Attention-assisted 2x downsample (out = strided-conv(x) + attn branch).
+
+    Mirrors timm's Downsample(use_attn=True) + Attention2dDownsample: heads
+    are FIXED at 8 (timm leaves the default regardless of dim), and the query
+    is a LocalGlobalQuery — proj(avgpool(x) + depthwise-conv-s2(x)).
+    """
 
     out_dim: int
     key_dim: int = 16
+    num_heads: int = 8
     attn_ratio: float = 4.0
     dtype: Any = jnp.bfloat16
 
@@ -226,21 +255,29 @@ class AttentionDownsample(nn.Module):
     def __call__(self, x, train: bool = False):
         B, H, W, C = x.shape
         Ho, Wo = H // 2, W // 2
-        num_heads = max(C // self.key_dim, 1)
+        num_heads = self.num_heads
         dh = int(self.attn_ratio * self.key_dim)
 
-        conv_path = ConvBN(self.out_dim, (3, 3), strides=(2, 2), dtype=self.dtype, name="conv")(
-            x, train
-        )
+        conv_path = ConvBN(
+            self.out_dim, (3, 3), strides=(2, 2), padding=_PAD1,
+            dtype=self.dtype, name="conv",
+        )(x, train)
 
-        # q at output resolution (pooled), k/v at input resolution
-        q = nn.avg_pool(x, (1, 1), strides=(2, 2))
-        q = ConvBN(self.key_dim * num_heads, (1, 1), dtype=self.dtype, name="q")(q, train)
+        # LocalGlobalQuery: stride-2 subsample + depthwise local branch
+        # (plain conv WITH bias, no BN — timm LocalGlobalQuery.local)
+        q_pool = nn.avg_pool(x, (1, 1), strides=(2, 2))
+        q_local = nn.Conv(
+            C, (3, 3), strides=(2, 2), padding=_PAD1, feature_group_count=C,
+            dtype=self.dtype, name="q_local",
+        )(x)
+        q = ConvBN(self.key_dim * num_heads, (1, 1), dtype=self.dtype, name="q")(
+            q_pool + q_local, train
+        )
         k = ConvBN(self.key_dim * num_heads, (1, 1), dtype=self.dtype, name="k")(x, train)
         v = ConvBN(dh * num_heads, (1, 1), dtype=self.dtype, name="v")(x, train)
         v_local = ConvBN(
             dh * num_heads, (3, 3), strides=(2, 2), groups=dh * num_heads,
-            dtype=self.dtype, name="v_local",
+            padding=_PAD1, dtype=self.dtype, name="v_local",
         )(v, train)
 
         Nq, Nk = Ho * Wo, H * W
@@ -251,28 +288,26 @@ class AttentionDownsample(nn.Module):
         attn = jnp.einsum(
             "bhnd,bhmd->bhnm", qh, kh, preferred_element_type=jnp.float32
         ) * (self.key_dim ** -0.5)
-        # learned bias between query (pooled) grid and key grid offsets
+        # learned bias between query (pooled) grid and key grid, timm encoding:
+        # slot = |2*qy - ky| * W + |2*qx - kx|, table size H*W
         points_q = list(itertools.product(range(Ho), range(Wo)))
         points_k = list(itertools.product(range(H), range(W)))
-        offsets: dict[tuple[int, int], int] = {}
-        idxs = []
-        for pq in points_q:
-            for pk in points_k:
-                off = (abs(pq[0] * 2 - pk[0]), abs(pq[1] * 2 - pk[1]))
-                if off not in offsets:
-                    offsets[off] = len(offsets)
-                idxs.append(offsets[off])
+        idxs = [
+            abs(pq[0] * 2 - pk[0]) * W + abs(pq[1] * 2 - pk[1])
+            for pq in points_q
+            for pk in points_k
+        ]
         idx_table = np.asarray(idxs, np.int32).reshape(Nq, Nk)
         bias = self.param(
             "attention_biases", nn.initializers.zeros,
-            (num_heads, len(offsets)), jnp.float32,
+            (num_heads, H * W), jnp.float32,
         )
         attn = attn + bias[:, idx_table][None]
         attn = nn.softmax(attn, axis=-1).astype(self.dtype)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, vh, preferred_element_type=jnp.float32)
         out = out.transpose(0, 2, 1, 3).reshape(B, Ho, Wo, dh * num_heads)
-        out = out.astype(self.dtype) + v_local
-        out = nn.gelu(out)
+        out = out.astype(jnp.float32) + v_local.astype(jnp.float32)
+        out = gelu_exact(out).astype(self.dtype)
         out = ConvBN(self.out_dim, (1, 1), dtype=self.dtype, name="proj")(out, train)
         return conv_path + out
 
@@ -294,12 +329,12 @@ class EfficientFormerV2(nn.Module):
         e_ratios = self.e_ratios or _VARIANTS["s1"]["e_ratios"]
         # stem: two stride-2 convs (dims0//2 → dims0)
         x = ConvBN(
-            self.dims[0] // 2, (3, 3), strides=(2, 2), act=nn.gelu,
-            dtype=self.dtype, name="stem_0",
+            self.dims[0] // 2, (3, 3), strides=(2, 2), act=gelu_exact,
+            padding=_PAD1, dtype=self.dtype, name="stem_0",
         )(x, train)
         x = ConvBN(
-            self.dims[0], (3, 3), strides=(2, 2), act=nn.gelu,
-            dtype=self.dtype, name="stem_1",
+            self.dims[0], (3, 3), strides=(2, 2), act=gelu_exact,
+            padding=_PAD1, dtype=self.dtype, name="stem_1",
         )(x, train)
 
         total_blocks = sum(self.depths)
@@ -313,8 +348,8 @@ class EfficientFormerV2(nn.Module):
                     )(x, train)
                 else:
                     x = ConvBN(
-                        dim, (3, 3), strides=(2, 2), dtype=self.dtype,
-                        name=f"downsample_{stage}",
+                        dim, (3, 3), strides=(2, 2), padding=_PAD1,
+                        dtype=self.dtype, name=f"downsample_{stage}",
                     )(x, train)
             for block_idx in range(self.depths[stage]):
                 ratio = e_ratios[stage][block_idx]

@@ -115,7 +115,15 @@ def rotate_batch(
     ``max_theta`` bounds the shear headroom (lane padding); the per-block
     3-tap scheme requires |theta| small enough that shifts within an 8-row
     block span < 1px: |tan(theta/2)|*8 < 1 → fine for |theta| ≤ ~0.24 rad.
+    Larger ``max_theta`` raises — callers must use the exact gather path
+    (data/augment.py dispatches automatically).
     """
+    if max_theta > 0.245:
+        raise ValueError(
+            f"rotate_batch 3-tap shear kernel is only valid for |theta| ≤ "
+            f"~0.24 rad; got max_theta={max_theta:.3f}. Use the gather "
+            "path (data/augment.py _affine_sample) for larger angles."
+        )
     _, H, W, _ = imgs.shape
     a = -jnp.tan(thetas / 2.0)
     b = jnp.sin(thetas)

@@ -63,6 +63,27 @@ def _mesh_dims(config: dict[str, Any]) -> tuple[int, int]:
     return int(mesh.get("data", -1) or -1), int(mesh.get("model", 1) or 1)
 
 
+def _compute_dtype(config: dict[str, Any]):
+    """Map the (validated) top-level ``precision`` key to a compute dtype."""
+    import jax.numpy as jnp
+
+    precision = str(config.get("precision") or "bfloat16").lower()
+    return {
+        "bfloat16": jnp.bfloat16,
+        "bf16": jnp.bfloat16,
+        "float32": jnp.float32,
+        "fp32": jnp.float32,
+    }[precision]
+
+
+def _model_kwargs(model_cfg: dict[str, Any]) -> dict[str, Any]:
+    """Extra builder kwargs from the model block (e.g. ``head_config``)."""
+    kw = dict(model_cfg.get("model_kwargs") or {})
+    if model_cfg.get("head_config"):
+        kw["head_config"] = model_cfg["head_config"]
+    return kw
+
+
 def build_train_job(
     config: dict[str, Any], model_name: str, model_cfg: dict[str, Any], run_paths
 ) -> TrainJob:
@@ -117,6 +138,8 @@ def build_train_job(
         eval_toggles=resolve_transform_mapping(model_cfg, "eval"),
         mesh_data=mesh_data,
         mesh_model=mesh_model,
+        compute_dtype=_compute_dtype(config),
+        model_kwargs=_model_kwargs(model_cfg),
     )
 
 
@@ -154,6 +177,8 @@ def build_eval_job(
         class_labels=data_cfg.get("class_labels"),
         mesh_data=mesh_data,
         mesh_model=mesh_model,
+        compute_dtype=_compute_dtype(config),
+        model_kwargs=_model_kwargs(model_cfg),
     )
 
 

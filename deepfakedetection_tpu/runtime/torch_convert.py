@@ -55,6 +55,36 @@ def _conv_to_hwio(w: np.ndarray, groups_depthwise: bool = False) -> np.ndarray:
     return np.transpose(w, (2, 3, 1, 0))
 
 
+# Registered-buffer keys that are not weights (recomputed from shapes).
+_SKIP_SUFFIXES = (
+    "num_batches_tracked",
+    "attention_bias_idxs",
+    "attention_bias_cache",
+    "relative_position_index",
+    "relative_coords_table",
+    "relative_bias",
+)
+
+
+def _layout(arr: np.ndarray, kind: str) -> np.ndarray:
+    """Torch→flax layout transform per map-entry kind.
+
+    "auto": by ndim (4D conv OIHW→HWIO, 2D dense [O,I]→[I,O], else copy);
+    "none": copy as-is (bias tables, layer-scale gammas, 1D vectors);
+    "talking_head": nn.Conv2d(h,h,1) weight [g,h,1,1] → einsum table [h,g].
+    """
+    if kind == "none":
+        return arr
+    if kind == "talking_head":
+        h = arr.shape[0]
+        return arr.reshape(h, h).T
+    if arr.ndim == 4:
+        return _conv_to_hwio(arr)
+    if arr.ndim == 2:
+        return arr.T
+    return arr
+
+
 def _efficientnet_name_map(flax_paths: list[tuple[str, ...]]) -> dict[str, tuple[str, ...]]:
     """Build efficientnet_pytorch name → flax path map.
 
@@ -103,45 +133,157 @@ def _efficientnet_name_map(flax_paths: list[tuple[str, ...]]) -> dict[str, tuple
     return mapping
 
 
+def _efficientformer_v2_name_map(
+    flax_paths: list[tuple[str, ...]],
+) -> dict[str, tuple[tuple[str, ...], str]]:
+    """timm ``efficientformerv2_*`` state-dict name → flax path map.
+
+    Reference consumer: trainers/efficientformer_v2.py:327 (timm
+    ``create_model``), model_registry.py:39-40. timm module layout:
+    stem.conv{1,2} / stages.{s}.downsample.{conv,attn} /
+    stages.{s}.blocks.{b}.{token_mixer,ls1,mlp,ls2} / norm / head+head_dist,
+    where ConvNorm = .conv + .bn. This repo's flax naming
+    (models/efficientformer_v2.py): stem_{0,1} / downsample_{s} /
+    stages_{s}_block{b}_{attn,attn_res,ffn,ffn_res} / norm_out /
+    head+head_dist. Alias spellings (``proj.1.conv`` vs ``proj.conv``) are
+    both mapped since only one appears in a given timm version.
+    """
+    tops = {p[0] for p in flax_paths}
+    mapping: dict[str, tuple[tuple[str, ...], str]] = {}
+
+    def bn(torch_prefix: str, flax_prefix: tuple[str, ...]) -> None:
+        mapping[f"{torch_prefix}.weight"] = (flax_prefix + ("scale",), "none")
+        mapping[f"{torch_prefix}.bias"] = (flax_prefix + ("bias",), "none")
+        mapping[f"{torch_prefix}.running_mean"] = (flax_prefix + ("mean",), "none")
+        mapping[f"{torch_prefix}.running_var"] = (flax_prefix + ("var",), "none")
+
+    def convbn(torch_prefix: str, flax_prefix: tuple[str, ...]) -> None:
+        mapping[f"{torch_prefix}.conv.weight"] = (flax_prefix + ("kernel",), "auto")
+        bn(f"{torch_prefix}.bn", flax_prefix)
+
+    convbn("stem.conv1", ("stem_0",))
+    convbn("stem.conv2", ("stem_1",))
+
+    # downsamples: stage 1 plain conv; stages 2-3 conv + attention branch
+    convbn("stages.1.downsample.conv", ("downsample_1",))
+    for s in (2, 3):
+        d = f"stages.{s}.downsample"
+        f = f"downsample_{s}"
+        convbn(f"{d}.conv", (f, "conv"))
+        a = f"{d}.attn"
+        mapping[f"{a}.q.local.weight"] = ((f, "q_local", "kernel"), "auto")
+        mapping[f"{a}.q.local.bias"] = ((f, "q_local", "bias"), "none")
+        convbn(f"{a}.q.proj", (f, "q"))
+        convbn(f"{a}.k", (f, "k"))
+        convbn(f"{a}.v", (f, "v"))
+        convbn(f"{a}.v_local", (f, "v_local"))
+        convbn(f"{a}.proj.1", (f, "proj"))  # Sequential(act, ConvNorm)
+        convbn(f"{a}.proj", (f, "proj"))  # alias: bare ConvNorm spelling
+        mapping[f"{a}.attention_biases"] = ((f, "attention_biases"), "none")
+
+    # blocks, discovered from the flax tree (stages_{s}_block{b}_ffn etc.)
+    blocks = sorted(
+        {
+            (int(m.group(1)), int(m.group(2)))
+            for p in tops
+            for m in [re.match(r"stages_(\d+)_block(\d+)_ffn$", p)]
+            if m
+        }
+    )
+    for s, b in blocks:
+        t = f"stages.{s}.blocks.{b}"
+        f = f"stages_{s}_block{b}"
+        convbn(f"{t}.mlp.fc1", (f"{f}_ffn", "fc1"))
+        convbn(f"{t}.mlp.mid", (f"{f}_ffn", "mid"))
+        convbn(f"{t}.mlp.fc2", (f"{f}_ffn", "fc2"))
+        mapping[f"{t}.ls2.gamma"] = ((f"{f}_ffn_res", "gamma"), "none")
+        if f"{f}_attn" in tops:
+            tm = f"{t}.token_mixer"
+            fa = f"{f}_attn"
+            convbn(f"{tm}.stride_conv", (fa, "stride_conv"))
+            convbn(f"{tm}.q", (fa, "q"))
+            convbn(f"{tm}.k", (fa, "k"))
+            convbn(f"{tm}.v", (fa, "v"))
+            convbn(f"{tm}.v_local", (fa, "v_local"))
+            convbn(f"{tm}.proj.1", (fa, "proj"))
+            convbn(f"{tm}.proj", (fa, "proj"))  # alias
+            for th in ("talking_head1", "talking_head2"):
+                mapping[f"{tm}.{th}.weight"] = ((fa, th), "talking_head")
+                mapping[f"{tm}.{th}.bias"] = ((fa, f"{th}_bias"), "none")
+            mapping[f"{tm}.attention_biases"] = ((fa, "attention_biases"), "none")
+            mapping[f"{t}.ls1.gamma"] = ((f"{f}_attn_res", "gamma"), "none")
+
+    bn("norm", ("norm_out",))
+    mapping["head.weight"] = (("head", "kernel"), "auto")
+    mapping["head.bias"] = (("head", "bias"), "none")
+    mapping["head_dist.weight"] = (("head_dist", "kernel"), "auto")
+    mapping["head_dist.bias"] = (("head_dist", "bias"), "none")
+    return mapping
+
+
+def build_name_map(
+    model_family: str | None, body_paths: list[tuple[str, ...]]
+) -> dict[str, tuple[tuple[str, ...], str]]:
+    """Torch-key → (flax body path, layout kind) map for a model family."""
+    if model_family == "efficientnet":
+        return {
+            k: (v, "auto") for k, v in _efficientnet_name_map(body_paths).items()
+        }
+    if model_family in ("efficientformerv2", "efficientformer_v2"):
+        return _efficientformer_v2_name_map(body_paths)
+    if model_family in ("fastervit", "faster_vit"):
+        from deepfakedetection_tpu.runtime.fastervit_convert import (
+            fastervit_name_map,
+        )
+
+        return fastervit_name_map(body_paths)
+    return {}
+
+
 def convert_torch_checkpoint(
     blob: bytes, target: dict[str, Any], *, model_family: str | None = None
 ) -> tuple[dict[str, Any], list[str]]:
     """Convert a torch state dict into ``target``'s structure.
 
     Returns (new_tree, unmatched_torch_keys). Leaves absent from the torch
-    checkpoint keep their init values (strict=False, orchestrator.py:370-375).
+    checkpoint keep their init values (strict=False, orchestrator.py:370-375),
+    but a checkpoint where NOTHING matches raises — silently evaluating on
+    init weights would record chance-level metrics as a valid result.
     """
     state = _load_state_dict(blob)
     flat_target = _flatten(target)
     # target paths look like ("params", "stem", "conv", "kernel") or
     # ("batch_stats", "stem", "bn", "mean")
     body_paths = sorted({p[1:] for p in flat_target})
-
-    if model_family == "efficientnet":
-        name_map = _efficientnet_name_map([p for p in body_paths])
-    else:
-        name_map = {}
+    name_map = build_name_map(model_family, body_paths)
 
     out = dict(flat_target)
     unmatched: list[str] = []
+    matched = 0
     for torch_key, value in state.items():
-        flax_body = name_map.get(torch_key)
-        if flax_body is None:
+        if torch_key.endswith(_SKIP_SUFFIXES):
+            continue
+        entry = name_map.get(torch_key)
+        if entry is None:
             unmatched.append(torch_key)
             continue
+        flax_body, kind = entry
         is_stat = flax_body[-1] in ("mean", "var")
         full = (("batch_stats",) if is_stat else ("params",)) + flax_body
         if full not in out:
             unmatched.append(torch_key)
             continue
         ref = out[full]
-        arr = np.asarray(value)
-        if arr.ndim == 4:  # conv OIHW → HWIO
-            arr = _conv_to_hwio(arr)
-        elif arr.ndim == 2:  # dense [O,I] → [I,O]
-            arr = arr.T
+        arr = _layout(np.asarray(value), kind)
         if tuple(arr.shape) != tuple(np.shape(ref)):
             unmatched.append(f"{torch_key} (shape {arr.shape} vs {np.shape(ref)})")
             continue
         out[full] = arr.astype(np.asarray(ref).dtype)
+        matched += 1
+    if matched == 0 and state:
+        raise ValueError(
+            f"torch checkpoint conversion matched 0 of {len(state)} tensors "
+            f"for model_family={model_family!r} — refusing to proceed on "
+            "randomly-initialized weights"
+        )
     return _unflatten(out), unmatched

@@ -90,6 +90,8 @@ class TrainJob:
     # (0 = reference behavior; short fine-tunes benefit — momentum-0.99
     # running stats lag far behind the trained weights otherwise)
     bn_recalc_batches: int = 0
+    # extra builder kwargs (e.g. fastervit head_config: "tpu"|"official")
+    model_kwargs: dict[str, Any] = field(default_factory=dict)
 
 
 @dataclass
@@ -178,7 +180,7 @@ def _run_training(job: TrainJob) -> TrainResult:
     job.batch_size = -(-job.batch_size // n_data) * n_data
 
     # ----- model ----------------------------------------------------------
-    model = job.spec.builder(job.num_classes, dtype=job.compute_dtype)
+    model = job.spec.builder(job.num_classes, dtype=job.compute_dtype, **job.model_kwargs)
     params, batch_stats = init_model_variables(
         model, jax.random.key(0 if job.seed is None else job.seed),
         (1, job.img_size, job.img_size, 3),
@@ -347,7 +349,10 @@ def _run_training(job: TrainJob) -> TrainResult:
         num_workers=job.num_workers,
     )
 
-    epochs_without_improvement = 0
+    # reconstruct the early-stop window on resume, matching the reference's
+    # semantics (trainers/efficientnet.py:506): a resumed stalled run must
+    # NOT get a fresh full patience window
+    epochs_without_improvement = max(0, start_epoch - 1 - best_epoch)
     epoch = start_epoch - 1
     def maybe_recalibrate(state, epoch):
         if job.bn_recalc_batches <= 0:

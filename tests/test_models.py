@@ -89,9 +89,9 @@ def test_efficientformer_v2_s1_param_count_matches_published():
 
     m = create_efficientformer_v2("s1", num_classes=1000, dtype=jnp.float32)
     v = _init(m, 224)
-    n = _n_params(v) / 1e6
-    # timm efficientformerv2_s1: ~6.19M (dual heads)
-    assert abs(n - 6.19) / 6.19 < 0.05
+    # exact itemized count of the timm efficientformerv2_s1 architecture
+    # (stem + 4 stages + attn downsamples + dual heads), BN stats excluded
+    assert _n_params(v) == 6_262_792
 
 
 def test_efficientformer_v2_forward_224():

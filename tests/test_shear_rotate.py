@@ -41,6 +41,35 @@ def test_shear_rotation_matches_gather_warp_interior():
         assert diff.max() < 0.15, f"theta={theta}: max diff {diff.max()}"
 
 
+def test_large_angle_raises_and_augment_falls_back():
+    """30° exceeds the 3-tap validity bound: the kernel must refuse, and
+    augment_batch must route such plans to the exact gather path."""
+    import pytest
+
+    from deepfakedetection_tpu.data import augment
+    from deepfakedetection_tpu.data.transforms import build_train_plan
+
+    img = np.zeros((1, 32, 32, 3), np.float32)
+    with pytest.raises(ValueError, match="0.24"):
+        rotate_batch(
+            jnp.asarray(img), jnp.asarray([0.5]), max_theta=0.52, interpret=True
+        )
+
+    plan30 = build_train_plan(
+        32,
+        {"train_random_rotation": True, "train_rotation_degrees": 30.0},
+    )
+    assert plan30.rotation_degrees == 30.0
+    # dispatch: 30° must NOT take the shear kernel even when enabled
+    rng = np.random.default_rng(3)
+    u8 = rng.integers(0, 255, (2, 37, 37, 3), dtype=np.uint8)
+    out = augment.augment_batch(
+        jnp.asarray(u8), jax.random.key(0), plan30, out_dtype=jnp.float32
+    )
+    assert out.shape == (2, 32, 32, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_zero_angle_is_identity():
     rng = np.random.default_rng(1)
     img = rng.random((2, 40, 48, 3)).astype(np.float32)

@@ -117,6 +117,140 @@ def test_b3_state_dict_converts_completely(tmp_path):
     assert np.isfinite(np.asarray(logits)).all()
 
 
+def _synthetic_state_dict_from_map(target, family, seed=0):
+    """Generate a torch state dict covering EVERY name-map entry, with shapes
+    inverted from the flax init tree — catches map/model naming drift for any
+    family without needing the real timm/fastervit packages."""
+    from deepfakedetection_tpu.runtime.torch_convert import _flatten, build_name_map
+
+    rng = np.random.default_rng(seed)
+    flat = _flatten(target)
+    body = sorted({p[1:] for p in flat})
+    name_map = build_name_map(family, body)
+    assert name_map, f"no name map for {family}"
+    sd, seen = {}, set()
+    for tk, (path, kind) in name_map.items():
+        is_stat = path[-1] in ("mean", "var")
+        full = (("batch_stats",) if is_stat else ("params",)) + path
+        if full not in flat or path in seen:  # alias / absent-module entries
+            continue
+        seen.add(path)
+        shape = tuple(np.shape(flat[full]))
+        if kind == "talking_head":
+            tshape = (shape[1], shape[0], 1, 1)
+        elif kind == "auto" and len(shape) == 4:
+            tshape = (shape[3], shape[2], shape[0], shape[1])
+        elif kind == "auto" and len(shape) == 2:
+            tshape = (shape[1], shape[0])
+        else:
+            tshape = shape
+        arr = rng.normal(scale=0.05, size=tshape).astype(np.float32)
+        if path[-1] == "var":
+            arr = np.abs(arr) + 1.0
+        sd[tk] = torch.tensor(arr)
+    return sd, name_map
+
+
+def _roundtrip_family(model, family, size, tmp_path, extra_keys=()):
+    from deepfakedetection_tpu.runtime.torch_convert import _layout
+
+    params, batch_stats = init_model_variables(model, jax.random.key(0), (1, size, size, 3))
+    target = {
+        "params": jax.device_get(params),
+        "batch_stats": jax.device_get(batch_stats),
+    }
+    sd, name_map = _synthetic_state_dict_from_map(target, family)
+    for k in extra_keys:  # registered buffers that must be silently skipped
+        sd[k] = torch.zeros(1)
+    buf = io.BytesIO()
+    torch.save(sd, buf)
+    pth = tmp_path / f"{family}.pth"
+    pth.write_bytes(buf.getvalue())
+    restored, unmatched = load_weights(pth, target, model_family=family)
+    assert unmatched == [], f"unmatched: {unmatched[:10]} (+{max(0, len(unmatched)-10)})"
+    # exhaustive layout check: every torch tensor landed where the map says
+    flat_restored = {}
+
+    def walk(tree, prefix=()):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                walk(v, prefix + (k,))
+            else:
+                flat_restored[prefix + (k,)] = v
+
+    walk(restored)
+    for tk, (path, kind) in name_map.items():
+        if tk not in sd:
+            continue
+        is_stat = path[-1] in ("mean", "var")
+        full = (("batch_stats",) if is_stat else ("params",)) + path
+        np.testing.assert_allclose(
+            np.asarray(flat_restored[full]),
+            _layout(sd[tk].numpy(), kind),
+            err_msg=f"{tk} -> {full}",
+        )
+    logits = model.apply(
+        {"params": restored["params"], "batch_stats": restored["batch_stats"]},
+        jnp.ones((1, size, size, 3), jnp.float32),
+        train=False,
+    )
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+@pytest.mark.slow
+def test_efficientformer_v2_state_dict_converts_completely(tmp_path):
+    from deepfakedetection_tpu.models.efficientformer_v2 import (
+        create_efficientformer_v2,
+    )
+
+    model = create_efficientformer_v2("s1", num_classes=2, dtype=jnp.float32)
+    _roundtrip_family(
+        model,
+        "efficientformerv2",
+        224,
+        tmp_path,
+        extra_keys=("stem.conv1.bn.num_batches_tracked",),
+    )
+
+
+@pytest.mark.slow
+def test_fastervit_official_state_dict_converts_completely(tmp_path):
+    from deepfakedetection_tpu.models.fastervit import create_faster_vit
+
+    model = create_faster_vit(
+        "2", num_classes=2, dtype=jnp.float32, head_config="official"
+    )
+    _roundtrip_family(
+        model,
+        "fastervit",
+        224,
+        tmp_path,
+        extra_keys=(
+            # persistent registered buffers in the wheel's pos-emb modules
+            "levels.2.blocks.0.attn.pos_emb_funct.relative_coords_table",
+            "levels.2.blocks.0.attn.pos_emb_funct.relative_position_index",
+            "levels.2.blocks.0.attn.pos_emb_funct.relative_bias",
+            "levels.2.blocks.0.pos_embed.relative_bias",
+        ),
+    )
+
+
+def test_zero_match_fails_hard(tmp_path):
+    model = create_efficientnet("b0", num_classes=2, dtype=jnp.float32)
+    params, batch_stats = init_model_variables(model, jax.random.key(0), (1, 32, 32, 3))
+    target = {
+        "params": jax.device_get(params),
+        "batch_stats": jax.device_get(batch_stats),
+    }
+    sd = {"totally.unknown.weight": torch.zeros(4)}
+    buf = io.BytesIO()
+    torch.save(sd, buf)
+    pth = tmp_path / "junk.pth"
+    pth.write_bytes(buf.getvalue())
+    with pytest.raises(ValueError, match="matched 0"):
+        load_weights(pth, target, model_family="efficientnet")
+
+
 def test_wrapped_state_dict_and_strictness(tmp_path):
     model = create_efficientnet("b0", num_classes=2, dtype=jnp.float32)
     params, batch_stats = init_model_variables(model, jax.random.key(0), (1, 32, 32, 3))

@@ -1,0 +1,255 @@
+"""Logit-parity harness: converted torch weights vs this repo's Flax models.
+
+Closes SURVEY.md §7.8 / BASELINE.md gate plumbing (AUROC and top-1 within
+0.1% of the PyTorch/timm reference). Three tiers, best-effort by what is
+importable in the environment:
+
+1. ALWAYS (offline): conversion coverage — matched/unmatched tensor counts —
+   plus logit self-consistency: batch-size invariance (batch 1 vs N) and
+   bf16-vs-f32 drift of the converted model.
+2. ``--images DIR``: run the converted model over an ImageFolder split and
+   report top-1 / AUROC on it.
+3. If the reference's torch package for the family is importable (timm /
+   fastervit / efficientnet_pytorch — reference requirements.txt), build the
+   torch model, load the SAME checkpoint, and report max|Δlogit|, top-1
+   agreement, and AUROC delta on identical inputs (ref consumers:
+   trainers/efficientformer_v2.py:327, trainers/fastervit.py:371,
+   trainers/efficientnet.py:405).
+
+Usage:
+    python tools/parity.py --model faster_vit_2_224 --weights w.pth \
+        [--images data/test] [--img-size 224] [--batch 8] [--json out.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def _build_flax(spec, num_classes, dtype, official_torch: bool):
+    import jax.numpy as jnp
+
+    kw = {}
+    if spec.family == "fastervit" and official_torch:
+        kw["head_config"] = "official"
+    return spec.builder(num_classes, dtype={"bf16": jnp.bfloat16, "f32": jnp.float32}[dtype], **kw)
+
+
+def _init_and_load(model, spec, weights: Path, img_size: int):
+    import jax
+
+    from deepfakedetection_tpu.runtime.checkpoint import load_weights
+    from deepfakedetection_tpu.train.steps import init_model_variables
+
+    params, batch_stats = init_model_variables(
+        model, jax.random.key(0), (1, img_size, img_size, 3)
+    )
+    target = {
+        "params": jax.device_get(params),
+        "batch_stats": jax.device_get(batch_stats),
+    }
+    n_leaves = len(jax.tree.leaves(target))
+    restored, unmatched = load_weights(weights, target, model_family=spec.family)
+    return restored, unmatched, n_leaves
+
+
+def _torch_reference_model(spec, num_classes):
+    """Best-effort construction of the reference's torch model (tier 3)."""
+    try:
+        import torch
+        import torch.nn as nn
+    except ImportError:
+        return None
+    try:
+        if spec.family == "efficientnet":
+            from efficientnet_pytorch import EfficientNet
+
+            m = EfficientNet.from_name("efficientnet-b3")
+            m._fc = nn.Linear(m._fc.in_features, num_classes)
+        elif spec.family == "efficientformerv2":
+            import timm
+
+            m = timm.create_model(
+                "efficientformerv2_s1", pretrained=False, num_classes=num_classes
+            )
+        elif spec.family == "fastervit":
+            from fastervit import create_model
+
+            m = create_model("faster_vit_2_224", pretrained=False)
+            m.head = nn.Linear(m.head.in_features, num_classes)
+        else:
+            return None
+    except ImportError:
+        return None
+    m.eval()
+    return m
+
+
+def _load_images(images_dir: Path | None, img_size: int, n_synthetic: int, seed: int):
+    """(float images NHWC normalized, labels|None). Synthetic when no dir."""
+    from deepfakedetection_tpu.data.transforms import build_eval_plan
+
+    plan = build_eval_plan(img_size, {})
+    if images_dir is None:
+        rng = np.random.default_rng(seed)
+        u8 = rng.integers(0, 256, size=(n_synthetic, img_size, img_size, 3), dtype=np.uint8)
+        import jax.numpy as jnp
+
+        from deepfakedetection_tpu.data.augment import normalize_batch
+
+        x = np.asarray(normalize_batch(jnp.asarray(u8), plan, out_dtype=jnp.float32))
+        return x, None
+    from deepfakedetection_tpu.data.folder import scan_image_folder
+    from deepfakedetection_tpu.data.pipeline import make_eval_loader
+
+    ds = scan_image_folder(images_dir)
+    loader = make_eval_loader(ds, plan, batch_size=32, num_workers=0)
+    import jax.numpy as jnp
+
+    from deepfakedetection_tpu.data.augment import normalize_batch
+
+    xs, ys = [], []
+    for batch in loader:
+        x = np.asarray(
+            normalize_batch(jnp.asarray(batch.images), plan, out_dtype=jnp.float32)
+        )
+        xs.append(x[batch.mask])
+        ys.append(batch.labels[batch.mask])
+    return np.concatenate(xs), np.concatenate(ys)
+
+
+def run_parity(
+    model_name: str,
+    weights: Path,
+    images: Path | None = None,
+    img_size: int = 224,
+    batch: int = 8,
+    num_classes: int = 2,
+    seed: int = 0,
+) -> dict:
+    from deepfakedetection_tpu.registry import get_model_spec
+
+    spec = get_model_spec(model_name)
+    report: dict = {"model": model_name, "weights": str(weights)}
+
+    with weights.open("rb") as f:
+        magic = f.read(2)
+    is_torch_ckpt = magic[:2] == b"PK" or magic[:1] == b"\x80"
+    report["torch_checkpoint"] = is_torch_ckpt
+
+    # --- tier 1a: conversion coverage -----------------------------------
+    model = _build_flax(spec, num_classes, "f32", official_torch=is_torch_ckpt)
+    restored, unmatched, n_leaves = _init_and_load(model, spec, weights, img_size)
+    report["flax_leaves"] = n_leaves
+    report["unmatched_torch_keys"] = len(unmatched)
+    report["unmatched_sample"] = unmatched[:8]
+
+    x, labels = _load_images(images, img_size, n_synthetic=max(batch, 8), seed=seed)
+    x = x[: max(batch, 2)] if images is None else x
+
+    def apply_f32(xs):
+        return np.asarray(model.apply(restored, xs, train=False))
+
+    logits = apply_f32(x)
+
+    # --- tier 1b: batch-size invariance ----------------------------------
+    single = np.concatenate([apply_f32(x[i : i + 1]) for i in range(min(len(x), 4))])
+    report["batch_invariance_max_delta"] = float(
+        np.abs(logits[: len(single)] - single).max()
+    )
+
+    # --- tier 1c: bf16 drift ---------------------------------------------
+    model_bf16 = _build_flax(spec, num_classes, "bf16", official_torch=is_torch_ckpt)
+    logits_bf16 = np.asarray(
+        model_bf16.apply(restored, x, train=False), dtype=np.float32
+    )
+    probs = _softmax(logits)
+    probs_bf16 = _softmax(logits_bf16)
+    report["bf16_max_logit_delta"] = float(np.abs(logits - logits_bf16).max())
+    report["bf16_top1_agreement"] = float(
+        (logits.argmax(-1) == logits_bf16.argmax(-1)).mean()
+    )
+    report["bf16_max_prob_delta"] = float(np.abs(probs - probs_bf16).max())
+
+    # --- tier 2: metrics on real images ----------------------------------
+    if labels is not None:
+        top1 = float((logits.argmax(-1) == labels).mean())
+        report["top1"] = top1
+        if num_classes == 2 and np.unique(labels).size > 1:
+            from deepfakedetection_tpu.evaluate.metrics import roc_auc
+
+            report["auroc"] = roc_auc(labels, probs[:, 1])
+
+    # --- tier 3: torch reference comparison ------------------------------
+    torch_model = _torch_reference_model(spec, num_classes) if is_torch_ckpt else None
+    if torch_model is not None:
+        import torch
+
+        sd = torch.load(weights, map_location="cpu", weights_only=True)
+        for wrapper in ("state_dict", "model"):
+            if isinstance(sd, dict) and wrapper in sd and isinstance(sd[wrapper], dict):
+                sd = sd[wrapper]
+        torch_model.load_state_dict(sd, strict=False)
+        with torch.inference_mode():
+            t_logits = (
+                torch_model(torch.from_numpy(x).permute(0, 3, 1, 2).contiguous())
+                .numpy()
+            )
+        report["ref_max_logit_delta"] = float(np.abs(logits - t_logits).max())
+        report["ref_top1_agreement"] = float(
+            (logits.argmax(-1) == t_logits.argmax(-1)).mean()
+        )
+        if labels is not None:
+            report["ref_top1"] = float((t_logits.argmax(-1) == labels).mean())
+            report["top1_delta"] = abs(report["ref_top1"] - report.get("top1", 0.0))
+            if num_classes == 2 and np.unique(labels).size > 1:
+                from deepfakedetection_tpu.evaluate.metrics import roc_auc
+
+                ref_auroc = roc_auc(labels, _softmax(t_logits)[:, 1])
+                if ref_auroc is not None and "auroc" in report:
+                    report["ref_auroc"] = ref_auroc
+                    report["auroc_delta"] = abs(report["auroc"] - ref_auroc)
+        report["gate_0p1pct"] = (
+            report.get("top1_delta", 0.0) <= 1e-3
+            and report.get("auroc_delta", 0.0) <= 1e-3
+        )
+    else:
+        report["torch_reference"] = "unavailable (timm/fastervit/efficientnet_pytorch not installed)"
+    return report
+
+
+def _softmax(z: np.ndarray) -> np.ndarray:
+    z = z - z.max(axis=-1, keepdims=True)
+    e = np.exp(z)
+    return e / e.sum(axis=-1, keepdims=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--model", required=True)
+    ap.add_argument("--weights", type=Path, required=True)
+    ap.add_argument("--images", type=Path, default=None)
+    ap.add_argument("--img-size", type=int, default=224)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--num-classes", type=int, default=2)
+    ap.add_argument("--json", type=Path, default=None)
+    args = ap.parse_args()
+    report = run_parity(
+        args.model, args.weights, args.images, args.img_size, args.batch,
+        args.num_classes,
+    )
+    text = json.dumps(report, indent=2, default=str)
+    print(text)
+    if args.json:
+        args.json.write_text(text)
+
+
+if __name__ == "__main__":
+    main()
