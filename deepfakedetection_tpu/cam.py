@@ -61,7 +61,21 @@ def compute_cam(
         train=False,
         mutable=["intermediates"],
     )
-    feats = jax.tree.leaves(inter["intermediates"])[0].astype(jnp.float32)
+    leaves = jax.tree.leaves(inter.get("intermediates", {}))
+    if not leaves:
+        raise ValueError(
+            f"Grad-CAM needs the model to sow('intermediates', 'cam_features', "
+            f"<last conv map>); {type(model).__name__} sowed nothing. Registry "
+            "models do this in their final BatchNorm block — custom models "
+            "must add the sow call (analogue of the reference's last-Conv2d "
+            "fallback, web_ui.py:96-105)."
+        )
+    feats = leaves[0].astype(jnp.float32)
+    if feats.ndim != 4:
+        raise ValueError(
+            f"cam_features must be a [B,H,W,C] feature map, got shape "
+            f"{feats.shape}"
+        )
 
     def score(f):
         logits = head_logits(params, f)

@@ -28,7 +28,7 @@ from deepfakedetection_tpu.evaluate.plots import save_confusion_matrix, save_roc
 from deepfakedetection_tpu.parallel.mesh import make_mesh, shard_batch
 from deepfakedetection_tpu.registry import ModelSpec
 from deepfakedetection_tpu.runtime import checkpoint as ckpt
-from deepfakedetection_tpu.runtime.logging import Throughput, append_metrics, console, tee_output
+from deepfakedetection_tpu.runtime.logging import append_metrics, console, progress, tee_output
 from deepfakedetection_tpu.runtime.paths import RunPaths
 from deepfakedetection_tpu.train.steps import init_model_variables, make_eval_step
 
@@ -161,22 +161,29 @@ def load_model_for_eval(job: EvalJob):
 
 def _collect_probs(eval_step, params, batch_stats, loader, plan, mesh, compute_dtype):
     device_probs, masks, targets_list = [], [], []
-    meter = Throughput()
     speed = 0.0
-    for batch in loader:
-        images = shard_batch(mesh, jnp.asarray(batch.images))
-        x = normalize_batch(images, plan, out_dtype=compute_dtype)
-        # keep results on device — dispatch runs ahead of host conversion
-        device_probs.append(eval_step(params, batch_stats, x))
-        masks.append(batch.mask)
-        targets_list.append(batch.labels[batch.mask])
-        speed = meter.update(int(batch.mask.sum()))
+    with progress("inference", total=len(loader.dataset)) as advance:
+        for batch in loader:
+            images = shard_batch(mesh, jnp.asarray(batch.images))
+            x = normalize_batch(images, plan, out_dtype=compute_dtype)
+            # keep results on device — dispatch runs ahead of host conversion
+            device_probs.append(eval_step(params, batch_stats, x))
+            masks.append(batch.mask)
+            targets_list.append(batch.labels[batch.mask])
+            speed = advance(int(batch.mask.sum()))
     if not device_probs:
-        return np.zeros((0, 2)), np.zeros((0,), np.int64), 0.0
-    probs = np.concatenate(
-        [np.asarray(p)[m] for p, m in zip(device_probs, masks)]
-    )
-    return probs, np.concatenate(targets_list), speed
+        probs = np.zeros((0, 2))
+        targets = np.zeros((0,), np.int64)
+    else:
+        probs = np.concatenate(
+            [np.asarray(p)[m] for p, m in zip(device_probs, masks)]
+        )
+        targets = np.concatenate(targets_list)
+    # multi-host: each process evaluated a disjoint shard (pipeline._order);
+    # re-assemble the full split so metrics/threshold-sweep see everything
+    from deepfakedetection_tpu.parallel.multihost import allgather_examples
+
+    return allgather_examples(probs), allgather_examples(targets), speed
 
 
 def run_eval_job(job: EvalJob) -> EvalResult | None:

@@ -78,6 +78,43 @@ class BatchNorm2d(nn.Module):
         return y
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _conv_f32_out(x, w, strides, padding, dn, groups):
+    """Conv with an f32 fused epilogue AND a differentiable path.
+
+    ``preferred_element_type=f32`` on bf16 operands makes XLA fuse the
+    convert (and downstream elementwise math) into the conv epilogue —
+    measured faster than conv→astype for the BN train path — but its
+    built-in VJP rejects the operand/cotangent dtype mismatch. The custom
+    VJP computes gradients through the PLAIN bf16 conv (identical to what
+    the old train path produced): cast the f32 cotangent to the operand
+    dtype and pull back. MXU accumulation stays f32 either way.
+    """
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=strides, padding=padding, dimension_numbers=dn,
+        feature_group_count=groups, preferred_element_type=jnp.float32,
+    )
+
+
+def _conv_f32_out_fwd(x, w, strides, padding, dn, groups):
+    return _conv_f32_out(x, w, strides, padding, dn, groups), (x, w)
+
+
+def _conv_f32_out_bwd(strides, padding, dn, groups, res, g):
+    x, w = res
+    _, pullback = jax.vjp(
+        lambda xx, ww: jax.lax.conv_general_dilated(
+            xx, ww, window_strides=strides, padding=padding,
+            dimension_numbers=dn, feature_group_count=groups,
+        ),
+        x, w,
+    )
+    return pullback(g.astype(x.dtype))
+
+
+_conv_f32_out.defvjp(_conv_f32_out_fwd, _conv_f32_out_bwd)
+
+
 class ConvBN(nn.Module):
     """Conv2D + BatchNorm (+ optional activation). NHWC, TF-style SAME padding.
 
@@ -133,37 +170,43 @@ class ConvBN(nn.Module):
             x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")
         )
 
-        def conv(inputs, w, preferred):
-            # preferred=f32 gives a fused f32 epilogue (measured faster for
-            # eval) but its VJP dtype-mismatches on bf16 operands, so the
-            # train path uses plain bf16 conv (MXU still accumulates f32).
-            return jax.lax.conv_general_dilated(
-                inputs,
-                w.astype(self.dtype),
-                window_strides=self.strides,
-                padding=self.padding,
-                dimension_numbers=dn,
-                feature_group_count=self.groups,
-                preferred_element_type=preferred,
-            )
+        pad = self.padding if isinstance(self.padding, str) else tuple(
+            map(tuple, self.padding)
+        )
 
         if not train:
-            # fold BN (+ conv bias) into the conv weights/bias
+            # fold BN (+ conv bias) into the conv weights/bias; the f32
+            # epilogue fuses bias+act into the conv (measured +31% eval)
             denom = scale * jax.lax.rsqrt(ra_var.value + self.bn_epsilon)
             w = kernel * denom  # broadcast over output-features dim
             b = bias - (ra_mean.value - (conv_bias if conv_bias is not None else 0.0)) * denom
-            y = conv(x.astype(self.dtype), w, jnp.float32) + b
+            y = _conv_f32_out(
+                x.astype(self.dtype), w.astype(self.dtype), self.strides, pad,
+                dn, self.groups,
+            ) + b
         else:
-            y = conv(x.astype(self.dtype), kernel, None).astype(jnp.float32)
+            # TRAIN: keep the whole chain bf16 — stats accumulate in f32 from
+            # the bf16 conv output, normalization applies as a bf16 y·a+b.
+            # Halving the BN-segment bytes (vs an f32 conv output) measured
+            # 1.39k → 2.15k img/s on the full B3 train step (HBM-bound).
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype), self.strides,
+                pad, dimension_numbers=dn, feature_group_count=self.groups,
+            )
             if conv_bias is not None:
-                y = y + conv_bias
+                y = y + conv_bias.astype(self.dtype)
             axes = (0, 1, 2)
-            mean = jnp.mean(y, axis=axes)
-            var = jnp.var(y, axis=axes)
+            # one-pass stats: E[x], E[x²] fuse into a single read of y
+            mean = jnp.mean(y, axis=axes, dtype=jnp.float32)
+            mean2 = jnp.mean(jnp.square(y.astype(jnp.float32)), axis=axes)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
             m = effective_bn_momentum(self.bn_momentum)
             ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
             ra_var.value = m * ra_var.value + (1.0 - m) * var
-            y = (y - mean) * jax.lax.rsqrt(var + self.bn_epsilon) * scale + bias
+            denom = scale * jax.lax.rsqrt(var + self.bn_epsilon)
+            a = denom.astype(self.dtype)
+            b = (bias - mean * denom).astype(self.dtype)
+            y = y * a + b
         if self.act is not None:
             y = self.act(y)
         return y.astype(self.dtype)

@@ -40,3 +40,29 @@ def process_shard(n_items: int) -> tuple[int, int]:
     start = pi * per
     end = start + per if pi < pc - 1 else n_items
     return start, end
+
+
+def allgather_examples(arr):
+    """Concatenate per-process example arrays (ragged leading dim) across
+    hosts, in process order — so sharded eval still produces the full
+    probs/targets set for sklearn-compatible metrics on every host.
+
+    Single-process: identity. Ragged shards (the last process takes the
+    remainder) are padded to the max count before the collective and trimmed
+    after.
+    """
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return arr
+    from jax.experimental import multihost_utils as mhu
+
+    arr = np.asarray(arr)
+    counts = np.asarray(
+        mhu.process_allgather(np.asarray([arr.shape[0]], np.int64))
+    ).reshape(-1)
+    m = int(counts.max())
+    padded = np.zeros((m,) + arr.shape[1:], arr.dtype)
+    padded[: arr.shape[0]] = arr
+    gathered = np.asarray(mhu.process_allgather(padded))  # [pc, m, ...]
+    return np.concatenate([gathered[i, : counts[i]] for i in range(len(counts))])

@@ -107,3 +107,46 @@ class Throughput:
         self.seen += n
         elapsed = perf_counter() - self.start
         return self.seen / max(elapsed, 1e-6)
+
+
+@contextlib.contextmanager
+def progress(description: str, total: int | None) -> Iterator[Any]:
+    """Live Rich progress bar with running img/s, mirroring the reference's
+    train/eval displays (orchestrator.py:569-599, efficientnet.py:316-325).
+
+    Yields ``update(n_images) -> img/s``. The bar renders only on an
+    interactive TTY; otherwise this degrades to a bare Throughput meter so
+    tee'd log files stay byte-identical to the plain prints.
+    """
+    interactive = _HAVE_RICH and getattr(sys.stdout, "isatty", lambda: False)()
+    if not interactive:
+        meter = Throughput()
+        yield meter.update
+        return
+    from rich.progress import (
+        BarColumn,
+        MofNCompleteColumn,
+        Progress,
+        TextColumn,
+        TimeElapsedColumn,
+    )
+
+    prog = Progress(
+        TextColumn("[progress.description]{task.description}"),
+        BarColumn(),
+        MofNCompleteColumn(),
+        TextColumn("{task.fields[rate]:>8.1f} img/s"),
+        TimeElapsedColumn(),
+        console=console,
+        transient=True,
+    )
+    with prog:
+        task = prog.add_task(description, total=total, rate=0.0)
+        meter = Throughput()
+
+        def update(n: int) -> float:
+            rate = meter.update(n)
+            prog.update(task, advance=n, rate=rate)
+            return rate
+
+        yield update

@@ -36,7 +36,7 @@ from deepfakedetection_tpu.data.transforms import build_eval_plan, build_train_p
 from deepfakedetection_tpu.parallel.mesh import make_mesh, shard_batch
 from deepfakedetection_tpu.registry import ModelSpec
 from deepfakedetection_tpu.runtime import checkpoint as ckpt
-from deepfakedetection_tpu.runtime.logging import Throughput, console
+from deepfakedetection_tpu.runtime.logging import console, progress
 from deepfakedetection_tpu.runtime.paths import RunPaths
 from deepfakedetection_tpu.runtime.seeding import apply_seed, root_key
 from deepfakedetection_tpu.train.optim import (
@@ -119,21 +119,26 @@ def evaluate(
     Device results stay un-fetched until the end so dispatch runs ahead of
     host-side decode (async pipeline)."""
     device_probs, masks, labels = [], [], []
-    meter = Throughput()
     speed = 0.0
-    for batch in loader:
-        images = shard_batch(mesh, jnp.asarray(batch.images))
-        x = normalize_batch(images, plan, out_dtype=compute_dtype)
-        device_probs.append(eval_step(params, batch_stats, x))
-        masks.append(batch.mask)
-        labels.append(batch.labels)
-        speed = meter.update(int(batch.mask.sum()))
+    with progress("eval", total=len(loader.dataset)) as advance:
+        for batch in loader:
+            images = shard_batch(mesh, jnp.asarray(batch.images))
+            x = normalize_batch(images, plan, out_dtype=compute_dtype)
+            device_probs.append(eval_step(params, batch_stats, x))
+            masks.append(batch.mask)
+            labels.append(batch.labels)
+            speed = advance(int(batch.mask.sum()))
     correct = 0
     total = 0
     for probs, valid, lab in zip(device_probs, masks, labels):
         preds = np.asarray(probs).argmax(axis=-1)
         correct += int((preds[valid] == lab[valid]).sum())
         total += int(valid.sum())
+    # multi-host: every process saw a disjoint shard — combine the counts
+    from deepfakedetection_tpu.parallel.multihost import allgather_examples
+
+    combined = allgather_examples(np.asarray([[correct, total]], np.int64))
+    correct, total = int(combined[:, 0].sum()), int(combined[:, 1].sum())
     return (correct / max(total, 1)), speed
 
 
@@ -238,12 +243,14 @@ def _run_training(job: TrainJob) -> TrainResult:
 
     def train_one_epoch(train_step, state, loader, epoch_key, desc):
         losses = []
-        meter = Throughput()
         speed = 0.0
-        for (x, labels, mask), num_valid in device_prefetch(loader, epoch_key, train_plan):
-            state, metrics = train_step(state, x, labels, mask, epoch_key)
-            losses.append(metrics["loss"])
-            speed = meter.update(num_valid)
+        with progress(desc, total=len(loader.dataset)) as advance:
+            for (x, labels, mask), num_valid in device_prefetch(
+                loader, epoch_key, train_plan
+            ):
+                state, metrics = train_step(state, x, labels, mask, epoch_key)
+                losses.append(metrics["loss"])
+                speed = advance(num_valid)
         mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
         console.print(f"  {desc}: loss={mean_loss:.4f} | {speed:.1f} img/s")
         return state, mean_loss

@@ -19,6 +19,20 @@ import jax  # noqa: E402
 # which wins over the env var — override through jax.config as well
 jax.config.update("jax_platforms", "cpu")
 
+# tests are compile-time-dominated on CPU (deep backbones): skip XLA's
+# expensive optimization passes (~3-10x faster compiles; numerics stay
+# within the suite's tolerances) and persist compiled executables so repeat
+# runs skip compilation entirely
+jax.config.update("jax_disable_most_optimizations", True)
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.expanduser("~/.cache/deepfakedetection_tpu/test_xla_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:  # older jax spellings — cache is an optimization only
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 from PIL import Image  # noqa: E402

@@ -64,23 +64,57 @@ def test_fastervit_2_param_count_close_to_published():
 
 
 def test_fastervit_small_input_forward():
-    # 112px: stage3 at 7x7 → degenerates to plain attention (no CTs)
-    m = create_faster_vit("0", num_classes=2, dtype=jnp.float32)
-    v = _init(m, 112)
-    out = jax.jit(lambda v, x: m.apply(v, x, train=False))(v, jnp.ones((2, 112, 112, 3)))
+    # map == window at stage 3 → degenerates to plain attention (no CTs)
+    from deepfakedetection_tpu.models.fastervit import FasterViT
+
+    m = FasterViT(
+        num_classes=2, dim=16, in_dim=8, depths=(1, 1, 1, 1),
+        num_heads=(1, 1, 2, 2), window_size=2, ct_size=1, dtype=jnp.float32,
+    )
+    v = _init(m, 32)  # stage3 map 2x2 == window → PlainBlock fallback
+    out = jax.jit(lambda v, x: m.apply(v, x, train=False))(v, jnp.ones((2, 32, 32, 3)))
     assert out.shape == (2, 2)
+    assert "blk" in v["params"]["stage2_block0"]  # plain path, no HAT
 
 
 def test_fastervit_hat_path_forward():
-    # 224px stage3 is 14x14 → real carrier-token path
-    m = create_faster_vit("0", num_classes=3, dtype=jnp.float32)
-    v = _init(m, 224)
+    # tiny config with window < map size → real carrier-token path, fast
+    # CPU compile (the full 224px config is covered by the slow tests)
+    from deepfakedetection_tpu.models.fastervit import FasterViT
+
+    m = FasterViT(
+        num_classes=3, dim=16, in_dim=8, depths=(1, 1, 2, 1),
+        num_heads=(1, 1, 2, 2), window_size=2, ct_size=1, dtype=jnp.float32,
+    )
+    v = _init(m, 64)  # stage3 map 4x4 → 2x2 windows of size 2 → CTs active
     out, inter = jax.jit(
         lambda v, x: m.apply(v, x, train=False, mutable=["intermediates"])
-    )(v, jnp.ones((1, 224, 224, 3)))
+    )(v, jnp.ones((1, 64, 64, 3)))
     assert out.shape == (1, 3)
     feats = jax.tree.leaves(inter["intermediates"])[0]
-    assert feats.shape[1:3] == (7, 7)
+    assert feats.shape[1:3] == (2, 2)
+    assert "stage2_block0" in v["params"]
+    assert "hat" in v["params"]["stage2_block0"]  # CT sub-block exists
+
+
+def test_fastervit_official_mode_tiny_forward():
+    # cpb positional mode end-to-end on a tiny config (both block kinds)
+    from deepfakedetection_tpu.models.fastervit import FasterViT
+
+    m = FasterViT(
+        num_classes=2, dim=16, in_dim=8, depths=(1, 1, 2, 1),
+        num_heads=(1, 1, 2, 2), window_size=2, ct_size=1, pos_mode="cpb",
+        dtype=jnp.float32,
+    )
+    v = _init(m, 64)
+    out = jax.jit(lambda v, x: m.apply(v, x, train=False))(v, jnp.ones((2, 64, 64, 3)))
+    assert out.shape == (2, 2)
+    blk = v["params"]["stage2_block0"]
+    # official machinery present, TPU-mode tables absent
+    assert "pos_embed" in blk and "hat_pos_embed" in blk
+    assert "pos_emb_funct" in blk["win"]["attn"]
+    assert "rel_bias" not in blk["win"]["attn"]
+    assert "attn_gamma" not in blk["win"]  # layer_scale=None in official mode
 
 
 @pytest.mark.slow
@@ -94,12 +128,14 @@ def test_efficientformer_v2_s1_param_count_matches_published():
     assert _n_params(v) == 6_262_792
 
 
-def test_efficientformer_v2_forward_224():
+def test_efficientformer_v2_forward_small():
+    # 96px: stage-3 stride attention at 6x6→3x3, stage-4 at 3x3 — all code
+    # paths of the 224 config at a fraction of the CPU compile time
     from deepfakedetection_tpu.models.efficientformer_v2 import create_efficientformer_v2
 
     m = create_efficientformer_v2("s0", num_classes=2, dtype=jnp.float32)
-    v = _init(m, 224)
-    out = jax.jit(lambda v, x: m.apply(v, x, train=False))(v, jnp.ones((1, 224, 224, 3)))
+    v = _init(m, 96)
+    out = jax.jit(lambda v, x: m.apply(v, x, train=False))(v, jnp.ones((1, 96, 96, 3)))
     assert out.shape == (1, 2)
 
 

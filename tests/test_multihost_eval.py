@@ -1,0 +1,98 @@
+"""Multi-host eval sharding: disjoint loader coverage + identical metrics.
+
+Simulates N processes on one host by monkeypatching jax.process_count /
+process_index where data/pipeline.py consults them (real collectives can't
+run single-host, so allgather_examples' identity path plus manual shard
+concatenation stands in for the pod collective).
+"""
+
+import numpy as np
+import pytest
+
+from deepfakedetection_tpu.data.folder import scan_image_folder
+from deepfakedetection_tpu.data.pipeline import make_eval_loader, make_train_loader
+from deepfakedetection_tpu.data.transforms import build_eval_plan, build_train_plan
+
+
+def _orders_for_processes(loader, monkeypatch, n_proc):
+    import jax
+
+    orders = []
+    for pi in range(n_proc):
+        monkeypatch.setattr(jax, "process_count", lambda: n_proc)
+        monkeypatch.setattr(jax, "process_index", lambda pi=pi: pi)
+        orders.append(np.asarray(loader._order()))
+    monkeypatch.undo()
+    return orders
+
+
+@pytest.mark.parametrize("shuffle", [False, True])
+def test_loader_shards_disjointly_across_processes(tiny_image_tree, monkeypatch, shuffle):
+    ds = scan_image_folder(tiny_image_tree / "val")
+    if shuffle:
+        loader = make_train_loader(
+            ds, build_train_plan(32, {}), batch_size=4, seed=7, num_workers=0
+        )
+    else:
+        loader = make_eval_loader(ds, build_eval_plan(32, {}), batch_size=4, num_workers=0)
+    loader.set_epoch(3)
+    n = len(ds)
+    orders = _orders_for_processes(loader, monkeypatch, 3)
+    flat = np.concatenate(orders)
+    # disjoint and jointly exhaustive
+    assert len(flat) == n
+    assert len(np.unique(flat)) == n
+    for a in orders[:-1]:
+        for b in orders[1:]:
+            if a is not b:
+                assert not set(a.tolist()) & set(b.tolist())
+
+
+def test_sharded_eval_metrics_match_full_eval(tiny_image_tree, monkeypatch):
+    """Concatenating per-shard probs/targets (what allgather_examples does on
+    a pod) must reproduce the single-process metrics exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepfakedetection_tpu.data.augment import normalize_batch
+    from deepfakedetection_tpu.evaluate.metrics import sweep_threshold
+
+    ds = scan_image_folder(tiny_image_tree / "val")
+    plan = build_eval_plan(32, {})
+
+    def collect(loader):
+        probs_list, targets = [], []
+        for batch in loader:
+            x = normalize_batch(jnp.asarray(batch.images), plan, out_dtype=jnp.float32)
+            # deterministic per-sample stand-in "model": mean-pixel → probs
+            score = 1.0 / (1.0 + np.exp(-np.asarray(x.mean(axis=(1, 2, 3)))))
+            p = np.stack([1 - score, score], -1)
+            probs_list.append(p[batch.mask])
+            targets.append(batch.labels[batch.mask])
+        return np.concatenate(probs_list), np.concatenate(targets)
+
+    full_loader = make_eval_loader(ds, plan, batch_size=4, num_workers=0)
+    probs_full, targets_full = collect(full_loader)
+
+    shards = []
+    for pi in range(2):
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        monkeypatch.setattr(jax, "process_index", lambda pi=pi: pi)
+        shards.append(collect(make_eval_loader(ds, plan, batch_size=4, num_workers=0)))
+    monkeypatch.undo()
+    probs_cat = np.concatenate([s[0] for s in shards])
+    targets_cat = np.concatenate([s[1] for s in shards])
+
+    np.testing.assert_allclose(probs_cat, probs_full, atol=1e-6)
+    np.testing.assert_array_equal(targets_cat, targets_full)
+    assert sweep_threshold(probs_cat[:, 1], targets_cat) == sweep_threshold(
+        probs_full[:, 1], targets_full
+    )
+
+
+def test_allgather_examples_single_process_identity():
+    from deepfakedetection_tpu.parallel.multihost import allgather_examples
+
+    arr = np.arange(12, dtype=np.float32).reshape(6, 2)
+    out = allgather_examples(arr)
+    np.testing.assert_array_equal(out, arr)

@@ -18,6 +18,7 @@ from deepfakedetection_tpu.models.efficientnet import create_efficientnet  # noq
 from deepfakedetection_tpu.train.steps import init_model_variables  # noqa: E402
 
 
+@pytest.mark.slow
 def test_parity_harness_offline_tiers(tmp_path):
     from parity import run_parity
 
