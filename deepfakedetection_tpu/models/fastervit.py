@@ -209,7 +209,10 @@ class TokenAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        from deepfakedetection_tpu.ops.attention import use_pallas_default, window_mhsa_pallas
+        from deepfakedetection_tpu.ops.attention import (
+            use_pallas_for,
+            window_mhsa_qkv_pallas,
+        )
 
         B, N, C = x.shape
         h = self.num_heads
@@ -224,10 +227,9 @@ class TokenAttention(nn.Module):
             bias = self.param(
                 "rel_bias", nn.initializers.zeros, (h, N, N), jnp.float32
             )
-        if not train and use_pallas_default():
-            qkv5 = qkv.reshape(B, N, 3, h, head_dim)
-            out = window_mhsa_pallas(
-                qkv5[:, :, 0], qkv5[:, :, 1], qkv5[:, :, 2], bias, scale=scale
+        if use_pallas_for(head_dim, train):
+            out = window_mhsa_qkv_pallas(
+                qkv, bias, num_heads=h, scale=scale
             ).astype(self.dtype)
         else:
             qkv5 = qkv.reshape(B, N, 3, h, head_dim).transpose(2, 0, 3, 1, 4)

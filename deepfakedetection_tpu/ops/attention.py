@@ -20,18 +20,41 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def use_pallas_default() -> bool:
-    """Pallas attention is opt-in: measured end-to-end on v5e the XLA einsum
-    path currently wins for these tiny windows (53-64 tokens); the kernel is
-    kept as infrastructure and a tuning target (set DFD_ENABLE_PALLAS=1)."""
-    if os.environ.get("DFD_DISABLE_PALLAS"):
-        return False
-    if not os.environ.get("DFD_ENABLE_PALLAS"):
-        return False
+def _on_tpu() -> bool:
     try:
         return jax.default_backend() not in ("cpu", "gpu")
     except Exception:  # pragma: no cover
         return False
+
+
+def use_pallas_default() -> bool:
+    """The v1 per-head-layout kernel is opt-in: measured end-to-end on v5e
+    the XLA einsum path wins for these tiny windows (DFD_ENABLE_PALLAS=1 to
+    force)."""
+    if os.environ.get("DFD_DISABLE_PALLAS"):
+        return False
+    if not os.environ.get("DFD_ENABLE_PALLAS"):
+        return False
+    return _on_tpu()
+
+
+def use_pallas_for(head_dim: int, train: bool = False) -> bool:
+    """Dispatch policy for the v2 head-masked kernel (measured on v5e,
+    FasterViT-2 end-to-end eval):
+
+    - lane-misaligned heads (head_dim % 128 != 0, e.g. the official d=48):
+      v2 wins big — 4,302 → 5,353 img/s — so it is ON by default;
+    - 128-aligned heads: XLA wins (6,323 vs 5,988) — v2 stays off unless
+      DFD_ENABLE_PALLAS=1;
+    - training always takes the XLA path (the kernel has no VJP).
+    """
+    if train or os.environ.get("DFD_DISABLE_PALLAS"):
+        return False
+    if not _on_tpu():
+        return False
+    if os.environ.get("DFD_ENABLE_PALLAS"):
+        return True
+    return head_dim % 128 != 0
 
 
 def window_mhsa_xla(
@@ -86,6 +109,39 @@ def window_mhsa_pallas(
     out = fused_window_attention(qp, kp, vp, bias_p, scale=scale, interpret=interpret)
     out = out[:, :, :N, :d].transpose(0, 2, 1, 3)  # [B,N,h,d]
     return out.astype(q.dtype).reshape(B, N, h * d)
+
+
+def window_mhsa_qkv_pallas(
+    qkv: jnp.ndarray,
+    bias: jnp.ndarray,
+    *,
+    num_heads: int,
+    scale: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused attention from the NATURAL qkv layout [B, N, 3C] (the Dense
+    output, features ordered [3, h, d]) — no per-head transposes on the host
+    at all; the kernel works head-masked at full-K (window_attn.py v2).
+    Returns [B, N, C]."""
+    from deepfakedetection_tpu.ops.pallas.window_attn import (
+        fused_window_attention_v2,
+    )
+
+    B, N, threeC = qkv.shape
+    Np = _round_up(N, 16)  # bf16 sublane tile
+    qkv_p = qkv.astype(jnp.bfloat16)
+    if Np > N:
+        qkv_p = jnp.pad(qkv_p, ((0, 0), (0, Np - N), (0, 0)))
+    bias_p = jnp.pad(
+        bias.astype(jnp.float32), ((0, 0), (0, Np - N), (0, Np - N))
+    )
+    if Np > N:  # mask padded KEY columns out of the softmax
+        col_mask = (jnp.arange(Np) >= N)[None, None, :]
+        bias_p = jnp.where(col_mask, _NEG_INF, bias_p)
+    out = fused_window_attention_v2(
+        qkv_p, bias_p, num_heads=num_heads, scale=scale, interpret=interpret
+    )
+    return out[:, :N, :]
 
 
 def window_mhsa(

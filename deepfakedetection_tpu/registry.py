@@ -13,6 +13,7 @@ a ``TrainRecipe`` attached to each spec, consumed by one shared trainer.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from dataclasses import dataclass, field
 from typing import Any
@@ -76,22 +77,39 @@ class ModelSpec:
     builder: Callable[..., Any]
 
 
-def _build_efficientnet(num_classes: int, **kw: Any):
+def _build_efficientnet(num_classes: int, variant: str = "b3", **kw: Any):
     from deepfakedetection_tpu.models.efficientnet import create_efficientnet
 
-    return create_efficientnet("b3", num_classes=num_classes, **kw)
+    return create_efficientnet(variant, num_classes=num_classes, **kw)
 
 
-def _build_efficientformer(num_classes: int, **kw: Any):
+def _build_efficientformer(num_classes: int, variant: str = "s1", **kw: Any):
     from deepfakedetection_tpu.models.efficientformer_v2 import create_efficientformer_v2
 
-    return create_efficientformer_v2("s1", num_classes=num_classes, **kw)
+    return create_efficientformer_v2(variant, num_classes=num_classes, **kw)
 
 
-def _build_fastervit(num_classes: int, **kw: Any):
+def _build_fastervit(num_classes: int, variant: str = "2", **kw: Any):
     from deepfakedetection_tpu.models.fastervit import create_faster_vit
 
-    return create_faster_vit("2", num_classes=num_classes, **kw)
+    return create_faster_vit(variant, num_classes=num_classes, **kw)
+
+
+def _efficientformer_variant(name: str) -> str:
+    """'efficientformerv2_s1' / 'efficientformer_v2_l' → 's1'/'l' (the
+    reference forwards the full name to timm, so any published variant
+    works — model_registry.py:39-40); unknown suffixes default to s1."""
+    tail = name.rsplit("_", 1)[-1].lower()
+    return tail if tail in ("s0", "s1", "s2", "l") else "s1"
+
+
+def _fastervit_variant(name: str) -> str:
+    """'faster_vit_2_224' → '2' (the wheel registers faster_vit_{0..4}_224,
+    fastervit.py:371); unknown numbering defaults to 2."""
+    import re
+
+    m = re.match(r"faster_vit_(\d)", name)
+    return m.group(1) if m and m.group(1) in "01234" else "2"
 
 
 _EFFICIENTNET_RECIPE = TrainRecipe(
@@ -162,24 +180,26 @@ def get_model_spec(name: str) -> ModelSpec:
     if name in _EXACT:
         return _EXACT[name]
     if name.startswith("efficientformer"):
+        variant = _efficientformer_variant(name)
         return ModelSpec(
             name=name,
             family="efficientformerv2",
-            variant="s1",
+            variant=variant,
             weights_key=name,
             default_image_size=224,
             recipe=_EFFICIENTFORMER_RECIPE,
-            builder=_build_efficientformer,
+            builder=functools.partial(_build_efficientformer, variant=variant),
         )
     if name.startswith("faster_vit"):
+        variant = _fastervit_variant(name)
         return ModelSpec(
             name=name,
             family="fastervit",
-            variant="2",
+            variant=variant,
             weights_key=name,
             default_image_size=224,
             recipe=_FASTERVIT_RECIPE,
-            builder=_build_fastervit,
+            builder=functools.partial(_build_fastervit, variant=variant),
         )
     raise KeyError(
         f"Unknown model '{name}'. Known: efficientnet_b3, efficientformer*, faster_vit*"

@@ -4,7 +4,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from deepfakedetection_tpu.ops.attention import window_mhsa_xla, window_mhsa_pallas
+from deepfakedetection_tpu.ops.attention import (
+    window_mhsa_pallas,
+    window_mhsa_qkv_pallas,
+    window_mhsa_xla,
+)
 
 
 def _mk(B=4, N=53, h=8, d=48, seed=0):
@@ -24,6 +28,26 @@ def test_pallas_matches_xla_unpadded_shapes():
     )
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)  # bf16 tolerance
+
+
+def test_pallas_v2_head_masked_matches_xla():
+    """v2 kernel (natural [B,N,3C] layout, head-masked full-K matmuls) must
+    agree with the XLA reference at the official FasterViT shapes."""
+    for B, N, h, d, seed in ((4, 53, 8, 48, 0), (4, 49, 16, 48, 1), (2, 16, 8, 48, 2)):
+        q, k, v, bias, scale = _mk(B=B, N=N, h=h, d=d, seed=seed)
+        ref = np.asarray(window_mhsa_xla(q, k, v, bias, scale=scale), np.float32)
+        C = h * d
+        qkv = jnp.concatenate(
+            [t.reshape(B, N, C) for t in (q, k, v)], axis=-1
+        )  # [B, N, 3C] in the Dense layout ([3, h, d] feature order)
+        out = np.asarray(
+            window_mhsa_qkv_pallas(
+                qkv, bias, num_heads=h, scale=scale, interpret=True
+            ),
+            np.float32,
+        )
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
 
 
 def test_pallas_matches_xla_aligned_shapes():
