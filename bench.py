@@ -36,12 +36,13 @@ def bench_eval(
     batch: int = 512,
     steps: int = 30,
     img_size: int = 224,
+    model_kwargs: dict | None = None,
 ) -> float:
     from deepfakedetection_tpu.registry import get_model_spec
     from deepfakedetection_tpu.train.steps import init_model_variables
 
     spec = get_model_spec(model_name)
-    model = spec.builder(2, dtype=jnp.bfloat16)
+    model = spec.builder(2, dtype=jnp.bfloat16, **(model_kwargs or {}))
     params, batch_stats = init_model_variables(
         model, jax.random.key(0), (1, img_size, img_size, 3)
     )
@@ -130,14 +131,20 @@ def main() -> None:
     parser.add_argument("--batch", type=int, default=512)
     parser.add_argument("--steps", type=int, default=30)
     parser.add_argument("--mode", choices=["eval", "train"], default="eval")
+    parser.add_argument(
+        "--official", action="store_true",
+        help="FasterViT wheel-parity configuration (head_config='official')",
+    )
     args = parser.parse_args()
+    kwargs = {"head_config": "official"} if args.official else {}
+    suffix = "_official" if args.official else ""
 
     if args.mode == "train":
         img_s = bench_train(args.model, min(args.batch, 128), max(args.steps // 3, 5))
-        metric = f"train_throughput_224px_{args.model}"
+        metric = f"train_throughput_224px_{args.model}{suffix}"
     else:
-        img_s = bench_eval(args.model, args.batch, args.steps)
-        metric = f"eval_throughput_224px_{args.model}"
+        img_s = bench_eval(args.model, args.batch, args.steps, model_kwargs=kwargs)
+        metric = f"eval_throughput_224px_{args.model}{suffix}"
     print(
         json.dumps(
             {

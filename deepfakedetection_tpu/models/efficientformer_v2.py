@@ -225,7 +225,9 @@ class Attention4D(nn.Module):
 
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, vh, preferred_element_type=jnp.float32)
         out = out.transpose(0, 2, 1, 3).reshape(B, H, W, dh * self.num_heads)
-        out = out.astype(jnp.float32) + v_local.astype(jnp.float32)
+        # bf16 from here: the dh=1024-channel upsample+gelu segment is pure
+        # HBM traffic and feeds a bf16 conv anyway (sub-ulp effect on logits)
+        out = (out + v_local.astype(jnp.float32)).astype(self.dtype)
         if self.stride > 1:
             # timm order: upsample BEFORE act+proj (act does not commute with
             # bilinear resize, so parity requires this exact order)
@@ -306,8 +308,8 @@ class AttentionDownsample(nn.Module):
         attn = nn.softmax(attn, axis=-1).astype(self.dtype)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, vh, preferred_element_type=jnp.float32)
         out = out.transpose(0, 2, 1, 3).reshape(B, Ho, Wo, dh * num_heads)
-        out = out.astype(jnp.float32) + v_local.astype(jnp.float32)
-        out = gelu_exact(out).astype(self.dtype)
+        out = (out + v_local.astype(jnp.float32)).astype(self.dtype)
+        out = gelu_exact(out)
         out = ConvBN(self.out_dim, (1, 1), dtype=self.dtype, name="proj")(out, train)
         return conv_path + out
 

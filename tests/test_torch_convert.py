@@ -128,13 +128,12 @@ def _synthetic_state_dict_from_map(target, family, seed=0):
     body = sorted({p[1:] for p in flat})
     name_map = build_name_map(family, body)
     assert name_map, f"no name map for {family}"
-    sd, seen = {}, set()
+    sd, seen = {}, {}
     for tk, (path, kind) in name_map.items():
         is_stat = path[-1] in ("mean", "var")
         full = (("batch_stats",) if is_stat else ("params",)) + path
-        if full not in flat or path in seen:  # alias / absent-module entries
+        if full not in flat or (path, kind) in seen:  # absent / alias entries
             continue
-        seen.add(path)
         shape = tuple(np.shape(flat[full]))
         if kind == "talking_head":
             tshape = (shape[1], shape[0], 1, 1)
@@ -148,6 +147,7 @@ def _synthetic_state_dict_from_map(target, family, seed=0):
         if path[-1] == "var":
             arr = np.abs(arr) + 1.0
         sd[tk] = torch.tensor(arr)
+        seen[(path, kind)] = sd[tk]
     return sd, name_map
 
 
