@@ -1,0 +1,101 @@
+"""Host-side decode: PIL path with torchvision-on-PIL geometry.
+
+The eval path is the parity-critical subset (SURVEY.md §7 "hard parts"):
+``ensure_rgb → Resize(shorter=img) → CenterCrop(img)`` exactly as the
+reference's orchestrator eval transforms (reference: orchestrator.py:316-347).
+PIL's BILINEAR is the antialiased triangle filter — the same op torchvision
+runs on PIL inputs — so these pixels bit-match the reference pipeline.
+
+The train path decodes to a fixed square canvas (shorter-side resize to
+``plan.host_canvas_size`` + center crop); all randomized geometry then runs
+fused on device (data/augment.py) from that canvas. A native C++ decoder with
+identical geometry is available via data/native.py (see native/dfd_loader.cc).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+from PIL import Image
+
+from deepfakedetection_tpu.data.transforms import EvalTransformPlan, TrainTransformPlan
+
+
+def _ensure_rgb(img: Image.Image) -> Image.Image:
+    return img if img.mode == "RGB" else img.convert("RGB")
+
+
+def _resize_shorter(img: Image.Image, target: int) -> Image.Image:
+    """Shorter-side resize, PIL BILINEAR (matches torchvision Resize on PIL;
+    rounding matches the native decoder's lround, dfd_loader.cc:269-279)."""
+    w, h = img.size
+    if w <= h:
+        rw = target
+        rh = max(1, round(h * target / w))
+    else:
+        rh = target
+        rw = max(1, round(w * target / h))
+    if (rw, rh) == (w, h):
+        return img
+    return img.resize((rw, rh), Image.BILINEAR)
+
+
+def _center_crop_square(arr: np.ndarray, target: int) -> np.ndarray:
+    """Center crop (zero-pad if smaller) to target x target uint8 HWC,
+    torchvision CenterCrop semantics (crop offset = (size - target) // 2)."""
+    h, w = arr.shape[:2]
+    out = np.zeros((target, target, 3), np.uint8)
+    top = (h - target) // 2
+    left = (w - target) // 2
+    src_y0, src_x0 = max(top, 0), max(left, 0)
+    src_y1, src_x1 = min(h, top + target), min(w, left + target)
+    dst_y0, dst_x0 = src_y0 - top, src_x0 - left
+    out[dst_y0 : dst_y0 + (src_y1 - src_y0), dst_x0 : dst_x0 + (src_x1 - src_x0)] = arr[
+        src_y0:src_y1, src_x0:src_x1
+    ]
+    return out
+
+
+def _decode_to_square(img: Image.Image, target: int, *, resize: bool, crop: bool) -> np.ndarray:
+    if resize:
+        img = _resize_shorter(img, target)
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:  # grayscale slipped through with ensure_rgb off
+        arr = np.stack([arr] * 3, axis=-1)
+    if crop or arr.shape[:2] != (target, target):
+        # a static square is required downstream even with the crop toggled
+        # off; falling back to the crop is the documented degradation
+        arr = _center_crop_square(arr, target)
+    return arr
+
+
+def decode_pil_eval(img: Image.Image, plan: EvalTransformPlan) -> np.ndarray:
+    """Eval decode of an open PIL image → uint8 [img_size, img_size, 3]."""
+    if plan.ensure_rgb:
+        img = _ensure_rgb(img)
+    elif img.mode != "RGB":  # static-shape requirement still needs 3 channels
+        img = img.convert("RGB")
+    return _decode_to_square(
+        img, plan.img_size, resize=plan.resize, crop=plan.center_crop
+    )
+
+
+def decode_eval(path: str | Path, plan: EvalTransformPlan) -> np.ndarray:
+    """Eval decode of an image file → uint8 [img_size, img_size, 3]."""
+    with Image.open(path) as img:
+        return decode_pil_eval(img, plan)
+
+
+def decode_train(path: str | Path, plan: TrainTransformPlan) -> np.ndarray:
+    """Train decode → uint8 square canvas [host_canvas_size]² × 3.
+
+    Small regime: Resize(img+4) (reference Resize + device RandomCrop);
+    large regime: shorter-side → max(img+32, 1.15·img) canvas, from which the
+    device RandomResizedCrop samples (PARITY.md §3)."""
+    with Image.open(path) as img:
+        if plan.ensure_rgb or img.mode != "RGB":
+            img = _ensure_rgb(img)
+        return _decode_to_square(
+            img, plan.host_canvas_size, resize=plan.resize, crop=True
+        )

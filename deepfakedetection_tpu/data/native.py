@@ -1,0 +1,109 @@
+"""ctypes binding for the native decode library (native/dfd_loader.cc).
+
+The reference decodes with PIL inside DataLoader worker processes
+(reference: trainers/efficientnet.py:216-233); this is the TPU framework's
+native runtime equivalent: C++ libjpeg/libpng decode with DCT-domain scaled
+JPEG reads, PIL-quality triangle resampling, and an in-library thread pool —
+~2x PIL throughput per core, no Python in the loop. Geometry is identical to
+data/decode.py (shorter-side resize → center-crop square), verified by
+tests/test_native.py.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import functools
+from pathlib import Path
+
+import numpy as np
+
+_LIB_PATH = Path(__file__).resolve().parents[2] / "native" / "libdfd_loader.so"
+
+
+@functools.cache
+def _lib() -> ctypes.CDLL | None:
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError:
+        return None
+    lib.dfd_version.restype = ctypes.c_int
+    lib.dfd_last_error.restype = ctypes.c_char_p
+    lib.dfd_decode_image.restype = ctypes.c_int
+    lib.dfd_decode_image.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte),
+    ]
+    lib.dfd_decode_buffer.restype = ctypes.c_int
+    lib.dfd_decode_buffer.argtypes = [
+        ctypes.POINTER(ctypes.c_ubyte), ctypes.c_long, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_ubyte),
+    ]
+    lib.dfd_decode_batch.restype = ctypes.c_int
+    lib.dfd_decode_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int,
+    ]
+    return lib
+
+
+def available() -> bool:
+    """True when the shared library is present and loadable."""
+    return _lib() is not None
+
+
+def last_error() -> str:
+    lib = _lib()
+    return lib.dfd_last_error().decode() if lib is not None else "library not loaded"
+
+
+def decode_image(path: str | Path, target: int) -> np.ndarray:
+    """Decode one file → uint8 [target, target, 3]. Raises on failure."""
+    lib = _lib()
+    if lib is None:
+        raise RuntimeError(f"native loader not available at {_LIB_PATH}")
+    out = np.empty((target, target, 3), np.uint8)
+    rc = lib.dfd_decode_image(
+        str(path).encode(), target,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+    )
+    if rc != 0:
+        raise RuntimeError(f"native decode failed for {path}: {last_error()}")
+    return out
+
+
+def decode_buffer(data: bytes, target: int) -> np.ndarray:
+    """Decode an in-memory JPEG/PNG buffer → uint8 [target, target, 3]."""
+    lib = _lib()
+    if lib is None:
+        raise RuntimeError(f"native loader not available at {_LIB_PATH}")
+    out = np.empty((target, target, 3), np.uint8)
+    buf = (ctypes.c_ubyte * len(data)).from_buffer_copy(data)
+    rc = lib.dfd_decode_buffer(
+        buf, len(data), target, out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))
+    )
+    if rc != 0:
+        raise RuntimeError(f"native buffer decode failed: {last_error()}")
+    return out
+
+
+def decode_batch(
+    paths: list[str | Path], target: int, *, n_threads: int = 4
+) -> tuple[np.ndarray, np.ndarray]:
+    """Thread-pool batch decode → (uint8 [N, target, target, 3], status [N]).
+
+    Per-image status is 0 on success; failed slots are zero-filled. The
+    thread pool lives in C++ (no GIL contention)."""
+    lib = _lib()
+    if lib is None:
+        raise RuntimeError(f"native loader not available at {_LIB_PATH}")
+    n = len(paths)
+    out = np.zeros((n, target, target, 3), np.uint8)
+    status = np.zeros((n,), np.int32)
+    c_paths = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+    lib.dfd_decode_batch(
+        c_paths, n, target,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        max(int(n_threads), 1),
+    )
+    return out, status
