@@ -71,14 +71,23 @@ def _decode_to_square(img: Image.Image, target: int, *, resize: bool, crop: bool
 
 
 def decode_pil_eval(img: Image.Image, plan: EvalTransformPlan) -> np.ndarray:
-    """Eval decode of an open PIL image → uint8 [img_size, img_size, 3]."""
+    """Eval decode of an open PIL image → uint8 [img_size, img_size, 3].
+
+    Resizes the shorter side to ``plan.resize_size`` (== img_size for the
+    orchestrator eval path; the 1.15× over-resize for trainer val plans,
+    efficientnet.py:199) then center-crops to ``img_size``."""
     if plan.ensure_rgb:
         img = _ensure_rgb(img)
     elif img.mode != "RGB":  # static-shape requirement still needs 3 channels
         img = img.convert("RGB")
-    return _decode_to_square(
-        img, plan.img_size, resize=plan.resize, crop=plan.center_crop
-    )
+    if plan.resize:
+        img = _resize_shorter(img, plan.resize_size or plan.img_size)
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    if plan.center_crop or arr.shape[:2] != (plan.img_size, plan.img_size):
+        arr = _center_crop_square(arr, plan.img_size)
+    return arr
 
 
 def decode_eval(path: str | Path, plan: EvalTransformPlan) -> np.ndarray:

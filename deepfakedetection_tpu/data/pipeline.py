@@ -107,9 +107,20 @@ class Loader:
         B = self.batch_size
         images = np.zeros((B, self._target, self._target, 3), np.uint8)
         if self.use_native:
-            decoded, status = native.decode_batch(
-                paths, self._target, n_threads=max(self.num_workers, 1)
+            # eval plans may over-resize before the crop (trainer-val
+            # geometry); the native decoder produces the resize_size square,
+            # then the compose-of-center-crops slice yields img_size
+            nat_target = (
+                self._target
+                if self._train
+                else (self.plan.resize_size or self.plan.img_size)
             )
+            decoded, status = native.decode_batch(
+                paths, nat_target, n_threads=max(self.num_workers, 1)
+            )
+            if nat_target != self._target:
+                off = (nat_target - self._target) // 2
+                decoded = decoded[:, off : off + self._target, off : off + self._target]
             images[: len(idx)] = decoded
             ok = status == 0
         else:

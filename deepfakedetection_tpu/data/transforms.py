@@ -43,11 +43,19 @@ def resolve_transform_mapping(model_cfg: dict[str, Any], phase: str) -> dict[str
 
 @dataclass(frozen=True)
 class EvalTransformPlan:
-    """Deterministic eval path: ensure_rgb → Resize → CenterCrop → normalize
-    (reference: orchestrator.py:316-347). ``to_tensor``/``normalize`` are
-    force-required like the reference (train_env.py:142-146)."""
+    """Deterministic eval path: ensure_rgb → Resize(shorter→``resize_size``)
+    → CenterCrop(``img_size``) → normalize. ``to_tensor``/``normalize`` are
+    force-required like the reference (train_env.py:142-146).
+
+    The reference has TWO deterministic pipelines (SURVEY.md §2.3a note):
+    the orchestrator eval path resizes the shorter side to exactly
+    ``img_size`` (orchestrator.py:316-347), while the trainers' VAL pipeline
+    over-resizes to ``max(img+32, 1.15·img)`` before the crop
+    (efficientnet.py:199). ``resize_size`` carries that distinction.
+    """
 
     img_size: int
+    resize_size: int = 0  # 0 → img_size (set by build_eval_plan)
     ensure_rgb: bool = True
     resize: bool = True
     center_crop: bool = True
@@ -57,11 +65,23 @@ class EvalTransformPlan:
 
 
 def build_eval_plan(
-    img_size: int, toggles: dict[str, Any] | None = None
+    img_size: int,
+    toggles: dict[str, Any] | None = None,
+    *,
+    trainer_val: bool = False,
 ) -> EvalTransformPlan:
+    """``trainer_val=True`` selects the trainers' val geometry (over-resize
+    then crop, efficientnet.py:195-203); default is the orchestrator's exact
+    shorter-side resize (orchestrator.py:316-347)."""
     t = toggles or {}
+    img_size = int(img_size)
+    if trainer_val and img_size > 64:
+        resize_size = max(img_size + 32, int(img_size * 1.15))
+    else:
+        resize_size = img_size
     return EvalTransformPlan(
-        img_size=int(img_size),
+        img_size=img_size,
+        resize_size=resize_size,
         ensure_rgb=bool(t.get("ensure_rgb", True)),
         resize=bool(t.get("val_resize", True)),
         center_crop=bool(t.get("val_center_crop", True)),

@@ -159,6 +159,17 @@ def build_eval_job(
         or spec.default_image_size
     )
     weights = infer_cfg.get("weights")
+    # batch/workers fallback chains (reference: orchestrator.py:257-269)
+    batch_size = infer_cfg.get("batch_size")
+    if batch_size is None:
+        batch_size = train_cfg.get("batch_size")
+    if batch_size is None:
+        batch_size = 64
+    num_workers = infer_cfg.get("num_workers")
+    if num_workers is None:
+        num_workers = train_cfg.get("num_workers")
+    if num_workers is None:
+        num_workers = data_cfg.get("num_workers", 0)
     mesh_data, mesh_model = _mesh_dims(config)
     return EvalJob(
         model_name=model_name,
@@ -169,8 +180,8 @@ def build_eval_job(
         val_split=data_cfg.get("val_split", "val"),
         num_classes=int(model_cfg.get("num_classes", data_cfg.get("num_classes", 2))),
         img_size=img_size,
-        batch_size=int(infer_cfg.get("batch_size", 64)),
-        num_workers=int(infer_cfg.get("num_workers", 4)),
+        batch_size=int(batch_size),
+        num_workers=int(num_workers),
         weights=_resolve_path(weights) if weights else None,
         seed=config.get("seed"),
         eval_toggles=resolve_transform_mapping(model_cfg, "eval"),

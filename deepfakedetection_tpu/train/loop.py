@@ -171,7 +171,9 @@ def _run_training(job: TrainJob) -> TrainResult:
         recipe_defaults=recipe.default_train_toggles,
         jitter_params=recipe.color_jitter,
     )
-    eval_plan = build_eval_plan(job.img_size, job.eval_toggles)
+    # trainer-val geometry: over-resize then crop (efficientnet.py:195-203),
+    # distinct from the orchestrator eval path's exact shorter-side resize
+    eval_plan = build_eval_plan(job.img_size, job.eval_toggles, trainer_val=True)
 
     train_ds = scan_image_folder(job.data_root / job.train_split)
     val_ds = scan_image_folder(job.data_root / job.val_split)

@@ -107,3 +107,26 @@ def test_loaders_pad_and_mask(tiny_image_tree):
     tl.set_epoch(1)
     labels_e1 = list(tl)[0].labels
     assert not np.array_equal(tb[0].labels, labels_e1) or True  # may coincide rarely
+
+
+def test_trainer_val_over_resize_geometry(tiny_image_tree):
+    """Trainer-val plans over-resize before the crop (efficientnet.py:199);
+    the orchestrator eval path resizes the shorter side to exactly img_size
+    (orchestrator.py:316-347). Both must exist and differ for large images."""
+    exact = build_eval_plan(224)
+    tval = build_eval_plan(224, trainer_val=True)
+    assert exact.resize_size == 224
+    assert tval.resize_size == 257  # max(224+32, int(224*1.15))
+    assert build_eval_plan(64, trainer_val=True).resize_size == 64  # small regime
+
+    ds = scan_image_folder(tiny_image_tree / "val")
+    path = ds.samples[0][0]
+    a = decode_eval(path, build_eval_plan(32))
+    b = decode_eval(path, build_eval_plan(32, trainer_val=True))
+    assert a.shape == b.shape == (32, 32, 3)
+    # small images: identical geometry (reference uses img_size there too)
+    np.testing.assert_array_equal(a, b)
+    c = decode_eval(path, build_eval_plan(96, trainer_val=False))
+    d = decode_eval(path, build_eval_plan(96, trainer_val=True))
+    assert c.shape == d.shape == (96, 96, 3)
+    assert not np.array_equal(c, d)  # 96 vs 128 resize target → different pixels

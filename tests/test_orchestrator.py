@@ -91,3 +91,21 @@ def test_snapshot_config_contents(tmp_path):
     assert snap["seed"] == 7
     assert snap["model"]["name"] == "efficientnet_b3"
     assert snap["model"]["training"]["epochs"] == 3
+
+
+def test_eval_job_batch_worker_fallback_chain(tmp_path):
+    """batch: infer→train→64; workers: infer→train→data→0
+    (reference orchestrator.py:257-269)."""
+    cfg = _config(tmp_path)
+    mc = dict(cfg["models"]["efficientnet_b3"], name="efficientnet_b3")
+    mc["inference"] = {"weights": None}  # no batch/workers set on inference
+    run_paths = ensure_run_dirs(tmp_path / "runs/enet", run_id="f")
+    job = build_eval_job(cfg, "efficientnet_b3", mc, run_paths)
+    assert job.batch_size == 32  # falls back to training.batch_size
+    assert job.num_workers == 2  # falls back to training.num_workers
+
+    mc["training"] = {}
+    cfg2 = dict(cfg)
+    job2 = build_eval_job(cfg2, "efficientnet_b3", mc, run_paths)
+    assert job2.batch_size == 64
+    assert job2.num_workers == 0  # data has no num_workers → 0
