@@ -130,3 +130,23 @@ def test_trainer_val_over_resize_geometry(tiny_image_tree):
     d = decode_eval(path, build_eval_plan(96, trainer_val=True))
     assert c.shape == d.shape == (96, 96, 3)
     assert not np.array_equal(c, d)  # 96 vs 128 resize target → different pixels
+
+
+def test_random_erasing_zeroes_one_rectangle_per_image():
+    """p=1 erasing must zero a contiguous rectangle of the normalized output
+    (value=0 AFTER normalize, torchvision semantics — efficientnet.py:186-193)."""
+    import dataclasses
+
+    base = build_train_plan(64 + 8, {"train_random_erasing": True})
+    plan = dataclasses.replace(base, erasing_p=1.0, color_jitter=False,
+                               horizontal_flip=False, rotation=False)
+    S = plan.host_canvas_size
+    rng = np.random.default_rng(1)
+    batch = rng.integers(10, 245, (3, S, S, 3), dtype=np.uint8)
+    out = np.asarray(augment_batch(jnp.asarray(batch), jax.random.key(5), plan))
+    area = plan.img_size * plan.img_size
+    for i in range(3):
+        zero_px = (np.abs(out[i]).sum(axis=-1) == 0.0).sum()
+        # scale (0.02, 0.33) of the image area, clamped
+        assert zero_px >= 0.015 * area, f"img {i}: {zero_px} zeroed px"
+        assert zero_px <= 0.5 * area
