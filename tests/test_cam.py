@@ -1,6 +1,7 @@
 """Grad-CAM: on-device CAM values, overlay rendering, web-UI triptych export."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from PIL import Image
@@ -41,6 +42,7 @@ def test_compute_cam_range_and_shape():
     assert cam.min() >= 0.0 and cam.max() <= 1.0 + 1e-6
 
 
+@pytest.mark.slow
 def test_head_replay_dual_heads_efficientformer():
     """EFv2 averages head + head_dist; the replay must match the model."""
     from deepfakedetection_tpu.models.efficientformer_v2 import create_efficientformer_v2

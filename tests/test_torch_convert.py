@@ -73,6 +73,7 @@ def _make_torch_state_dict(num_classes=2, seed=0):
     return sd
 
 
+@pytest.mark.slow
 def test_b3_state_dict_converts_completely(tmp_path):
     model = create_efficientnet("b3", num_classes=2, dtype=jnp.float32)
     params, batch_stats = init_model_variables(model, jax.random.key(0), (1, 64, 64, 3))
