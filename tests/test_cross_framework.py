@@ -113,3 +113,16 @@ def test_fastervit_official_matches_torch_reimplementation(tmp_path, monkeypatch
         flax_model, "fastervit", FasterViT2(num_classes=2), 224, tmp_path,
         monkeypatch,
     )
+
+
+@pytest.mark.slow
+def test_efficientnet_b3_matches_torch_reimplementation(tmp_path, monkeypatch):
+    from torch_refs.efficientnet_torch import EfficientNetB3
+
+    from deepfakedetection_tpu.models.efficientnet import create_efficientnet
+
+    flax_model = create_efficientnet("b3", num_classes=2, dtype=jnp.float32)
+    _cross_check(
+        flax_model, "efficientnet", EfficientNetB3(num_classes=2), 224,
+        tmp_path, monkeypatch,
+    )
