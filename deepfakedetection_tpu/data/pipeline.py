@@ -54,6 +54,7 @@ class Loader:
         seed: int | None = None,
         num_workers: int = 0,
         use_native: bool | None = None,
+        cache_decoded: bool = False,
     ) -> None:
         self.dataset = dataset
         self.plan = plan
@@ -70,6 +71,13 @@ class Loader:
                 self._train or os.environ.get("DFD_NATIVE_EVAL") == "1"
             )
         self.use_native = bool(use_native) and native.available()
+        # opt-in decoded-canvas cache: the deterministic host decode is
+        # identical every epoch (all randomness lives on device), so caching
+        # uint8 canvases makes epochs ≥2 decode-free — the chip never starves
+        # on host JPEG throughput. Cost: ~target²·3 bytes per image in RAM
+        # (~200 KB at a 257px canvas). TPU extension; no reference analogue.
+        self.cache_decoded = bool(cache_decoded)
+        self._cache: dict[int, np.ndarray] = {}
 
     # -- ordering ----------------------------------------------------------
     def set_epoch(self, epoch: int) -> None:
@@ -102,10 +110,42 @@ class Loader:
 
     # -- decode ------------------------------------------------------------
     def _decode_indices(self, idx: np.ndarray) -> Batch:
-        paths = [self.dataset.samples[i][0] for i in idx]
         labels = np.asarray([self.dataset.samples[i][1] for i in idx], np.int64)
         B = self.batch_size
         images = np.zeros((B, self._target, self._target, 3), np.uint8)
+        if self.cache_decoded:
+            todo = [
+                (k, int(i)) for k, i in enumerate(idx) if int(i) not in self._cache
+            ]
+            if todo:
+                sub = self._decode_raw(np.asarray([i for _, i in todo]))
+                for (k, i), arr, good in zip(todo, sub[0], sub[1]):
+                    if good:
+                        self._cache[i] = arr
+            ok = np.ones(len(idx), bool)
+            for k, i in enumerate(idx):
+                arr = self._cache.get(int(i))
+                if arr is None:
+                    ok[k] = False
+                else:
+                    images[k] = arr
+        else:
+            decoded, ok = self._decode_raw(idx)
+            images[: len(idx)] = decoded
+        mask = np.zeros((B,), bool)
+        mask[: len(idx)] = ok
+        padded_labels = np.zeros((B,), np.int64)
+        padded_labels[: len(idx)] = labels
+        return Batch(
+            images=images,
+            labels=padded_labels,
+            mask=mask,
+            num_valid=int(mask.sum()),
+        )
+
+    def _decode_raw(self, idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Decode the given sample indices → (uint8 [n,T,T,3], ok [n])."""
+        paths = [self.dataset.samples[i][0] for i in idx]
         if self.use_native:
             # eval plans may over-resize before the crop (trainer-val
             # geometry); the native decoder produces the resize_size square,
@@ -121,32 +161,18 @@ class Loader:
             if nat_target != self._target:
                 off = (nat_target - self._target) // 2
                 decoded = decoded[:, off : off + self._target, off : off + self._target]
-            images[: len(idx)] = decoded
-            ok = status == 0
-        else:
-            decode = (
-                (lambda p: decode_train(p, self.plan))
-                if self._train
-                else (lambda p: decode_eval(p, self.plan))
-            )
-            if self.num_workers > 0:
-                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                    arrays = list(pool.map(decode, paths))
-            else:
-                arrays = [decode(p) for p in paths]
-            for k, arr in enumerate(arrays):
-                images[k] = arr
-            ok = np.ones(len(idx), bool)
-        mask = np.zeros((B,), bool)
-        mask[: len(idx)] = ok
-        padded_labels = np.zeros((B,), np.int64)
-        padded_labels[: len(idx)] = labels
-        return Batch(
-            images=images,
-            labels=padded_labels,
-            mask=mask,
-            num_valid=int(mask.sum()),
+            return decoded, status == 0
+        decode = (
+            (lambda p: decode_train(p, self.plan))
+            if self._train
+            else (lambda p: decode_eval(p, self.plan))
         )
+        if self.num_workers > 0:
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                arrays = list(pool.map(decode, paths))
+        else:
+            arrays = [decode(p) for p in paths]
+        return np.stack(arrays), np.ones(len(idx), bool)
 
     def __iter__(self) -> Iterator[Batch]:
         order = self._order()
@@ -175,11 +201,13 @@ def make_train_loader(
     seed: int | None,
     num_workers: int = 0,
     use_native: bool | None = None,
+    cache_decoded: bool = False,
 ) -> Loader:
     """Shuffled, drop-last loader over host canvases (device augments)."""
     return Loader(
         dataset, plan, batch_size=batch_size, shuffle=True, drop_last=True,
         seed=seed, num_workers=num_workers, use_native=use_native,
+        cache_decoded=cache_decoded,
     )
 
 
@@ -190,6 +218,7 @@ def make_eval_loader(
     batch_size: int,
     num_workers: int = 0,
     use_native: bool | None = None,
+    cache_decoded: bool = False,
 ) -> Loader:
     """Deterministic-order loader; final batch zero-padded with a mask.
 
@@ -199,4 +228,5 @@ def make_eval_loader(
     return Loader(
         dataset, plan, batch_size=batch_size, shuffle=False, drop_last=False,
         num_workers=num_workers, use_native=use_native,
+        cache_decoded=cache_decoded,
     )

@@ -134,6 +134,7 @@ def build_train_job(
         profile_dir=config.get("profile_dir"),
         remat=bool(train_cfg.get("remat", False)),
         bn_recalc_batches=int(train_cfg.get("bn_recalc_batches", 0) or 0),
+        cache_decoded=bool(train_cfg.get("cache_decoded", False)),
         train_toggles=resolve_transform_mapping(model_cfg, "train"),
         eval_toggles=resolve_transform_mapping(model_cfg, "eval"),
         mesh_data=mesh_data,

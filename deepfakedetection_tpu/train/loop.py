@@ -90,6 +90,10 @@ class TrainJob:
     # (0 = reference behavior; short fine-tunes benefit — momentum-0.99
     # running stats lag far behind the trained weights otherwise)
     bn_recalc_batches: int = 0
+    # cache decoded host canvases in RAM: epochs ≥2 skip JPEG decode entirely
+    # (the host decode is deterministic; all augmentation randomness is on
+    # device). ~canvas²·3 bytes per image. TPU extension, default off.
+    cache_decoded: bool = False
     # extra builder kwargs (e.g. fastervit head_config: "tpu"|"official")
     model_kwargs: dict[str, Any] = field(default_factory=dict)
 
@@ -259,7 +263,8 @@ def _run_training(job: TrainJob) -> TrainResult:
 
     eval_step = make_eval_step(model)
     eval_loader = make_eval_loader(
-        val_ds, eval_plan, batch_size=job.batch_size, num_workers=job.num_workers
+        val_ds, eval_plan, batch_size=job.batch_size, num_workers=job.num_workers,
+        cache_decoded=job.cache_decoded,
     )
 
     best_val_acc = 0.0
@@ -326,7 +331,7 @@ def _run_training(job: TrainJob) -> TrainResult:
         )
         wu_loader = make_train_loader(
             train_ds, train_plan, batch_size=job.batch_size, seed=job.seed,
-            num_workers=job.num_workers,
+            num_workers=job.num_workers, cache_decoded=job.cache_decoded,
         )
         for we in range(warmup_epochs):
             wu_loader.set_epoch(we)
@@ -355,7 +360,7 @@ def _run_training(job: TrainJob) -> TrainResult:
     )
     ft_loader = make_train_loader(
         train_ds, train_plan, batch_size=ft_batch, seed=job.seed,
-        num_workers=job.num_workers,
+        num_workers=job.num_workers, cache_decoded=job.cache_decoded,
     )
 
     # reconstruct the early-stop window on resume, matching the reference's

@@ -150,3 +150,34 @@ def test_random_erasing_zeroes_one_rectangle_per_image():
         # scale (0.02, 0.33) of the image area, clamped
         assert zero_px >= 0.015 * area, f"img {i}: {zero_px} zeroed px"
         assert zero_px <= 0.5 * area
+
+
+def test_cache_decoded_skips_redundant_decodes(tiny_image_tree, monkeypatch):
+    """With cache_decoded=True, each sample decodes exactly once across
+    epochs, and cached batches are bit-identical to fresh ones."""
+    import deepfakedetection_tpu.data.pipeline as pipeline_mod
+
+    ds = scan_image_folder(tiny_image_tree / "val")
+    plan = build_eval_plan(32)
+    calls = {"n": 0}
+    real = pipeline_mod.decode_eval
+
+    def counting(path, p):
+        calls["n"] += 1
+        return real(path, p)
+
+    monkeypatch.setattr(pipeline_mod, "decode_eval", counting)
+    plain = make_eval_loader(ds, plan, batch_size=4, num_workers=0, use_native=False)
+    ref_batches = [b.images.copy() for b in plain]
+    assert calls["n"] == len(ds)
+
+    calls["n"] = 0
+    cached = make_eval_loader(
+        ds, plan, batch_size=4, num_workers=0, use_native=False, cache_decoded=True
+    )
+    first = [b.images.copy() for b in cached]
+    second = [b.images.copy() for b in cached]
+    assert calls["n"] == len(ds)  # epoch 2 decoded nothing
+    for a, b, r in zip(first, second, ref_batches):
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(a, r)
