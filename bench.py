@@ -62,7 +62,7 @@ def bench_eval(
     base = jnp.ones((batch, img_size, img_size, 3), jnp.bfloat16)
     float(loop(params, batch_stats, base, jnp.int32(0), steps))  # compile + warm
     best = 0.0
-    for trial in range(2):
+    for trial in range(3):
         t0 = time.perf_counter()
         float(loop(params, batch_stats, base, jnp.int32(100 + trial), steps))
         dt = time.perf_counter() - t0
@@ -115,11 +115,14 @@ def bench_train(
 
     state, loss = loop(state, jnp.int32(0), steps)  # compile
     float(loss)
-    t0 = time.perf_counter()
-    state, loss = loop(state, jnp.int32(7), steps)
-    float(loss)
-    dt = time.perf_counter() - t0
-    return batch * steps / dt
+    best = 0.0
+    for trial in range(2):
+        t0 = time.perf_counter()
+        state, loss = loop(state, jnp.int32(7 + trial), steps)
+        float(loss)
+        dt = time.perf_counter() - t0
+        best = max(best, batch * steps / dt)
+    return best
 
 
 def main() -> None:

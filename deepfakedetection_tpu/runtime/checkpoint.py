@@ -100,8 +100,43 @@ def load_weights(path: Path, target: dict[str, Any], *, model_family: str | None
         )
 
         return convert_torch_checkpoint(blob, target, model_family=model_family)
-    restored = serialization.from_bytes(target, blob)
-    return restored, []
+    # strict=False analogue for native exports (flax from_bytes would restore
+    # wrong-SHAPED arrays silently and only raise on structure mismatch): walk
+    # the target, copy every leaf whose path+shape matches, report the rest
+    # (reference load_model is strict=False throughout, orchestrator.py:370-375)
+    state = serialization.msgpack_restore(bytearray(blob))
+    if not isinstance(state, dict):
+        raise ValueError(f"unrecognized weights format at {path}")
+    unmatched: list[str] = []
+
+    def merge(dst, src, prefix=""):
+        out = {}
+        for k, v in dst.items():
+            key = f"{prefix}{k}"
+            if isinstance(v, dict):
+                sub = src.get(k)
+                out[k] = merge(v, sub if isinstance(sub, dict) else {}, key + "/")
+            elif k not in src:
+                out[k] = v
+                unmatched.append(f"(missing) {key}")
+            elif np.shape(src[k]) == np.shape(v):
+                out[k] = np.asarray(src[k], dtype=np.asarray(v).dtype)
+            else:
+                out[k] = v
+                unmatched.append(f"{key} (shape {np.shape(src[k])} vs {np.shape(v)})")
+        for k in src:
+            if k not in dst:
+                unmatched.append(f"(unexpected) {prefix}{k}")
+        return out
+
+    merged = merge(target, state)
+    n_total = len(jax.tree.leaves(target))
+    n_bad = sum(1 for u in unmatched if not u.startswith("(unexpected)"))
+    if n_total and n_bad >= n_total:
+        raise ValueError(
+            f"checkpoint at {path} shares no tensors with the target model"
+        )
+    return merged, unmatched
 
 
 def tree_allclose(a: Any, b: Any) -> bool:

@@ -276,3 +276,41 @@ def test_wrapped_state_dict_and_strictness(tmp_path):
         np.asarray(restored["params"]["classifier"]["kernel"]),
         np.asarray(target["params"]["classifier"]["kernel"]),
     )
+
+
+def test_native_export_partial_mismatch_is_tolerant(tmp_path):
+    """A msgpack export from a DIFFERENT configuration (e.g. other trace-time
+    resolution) must load matching leaves and report the rest, strict=False
+    style (reference orchestrator.py:370-375) — not raise."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepfakedetection_tpu.runtime.checkpoint import export_weights, load_weights
+    from tests.util import TinyCNN
+
+    model = TinyCNN(num_classes=2, dtype=jnp.float32)
+    params, stats = init_model_variables(model, jax.random.key(0), (1, 32, 32, 3))
+    # export, then mutate one leaf's shape in the target (simulating a
+    # different head size) — the rest must still load
+    pth = tmp_path / "w.pth"
+    export_weights(pth, params, stats)
+    target = {
+        "params": jax.device_get(params),
+        "batch_stats": jax.device_get(stats),
+    }
+    target["params"]["head"]["kernel"] = np.zeros((16, 5), np.float32)  # was (16,2)
+    restored, unmatched = load_weights(pth, target)
+    assert any("head" in u for u in unmatched)
+    # a matching leaf actually loaded
+    np.testing.assert_allclose(
+        np.asarray(restored["params"]["conv1"]["kernel"]),
+        np.asarray(params["conv1"]["kernel"]),
+    )
+    # fully-alien checkpoint still fails hard
+    alien = {"x": {"y": np.zeros((3,), np.float32)}}
+    from flax import serialization
+
+    bad = tmp_path / "alien.pth"
+    bad.write_bytes(serialization.to_bytes(alien))
+    with pytest.raises(ValueError, match="no tensors"):
+        load_weights(bad, target)

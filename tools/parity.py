@@ -61,12 +61,19 @@ def _init_and_load(model, spec, weights: Path, img_size: int):
 
 
 def _torch_reference_model(spec, num_classes):
-    """Best-effort construction of the reference's torch model (tier 3)."""
+    """Best-effort construction of the reference's torch model (tier 3).
+
+    Prefers the real wheels (efficientnet_pytorch / timm / fastervit —
+    reference requirements.txt); when those aren't installed (zero-egress
+    environments), falls back to the in-repo reimplementations
+    (tests/torch_refs/) that carry the same module naming and forward
+    semantics. Returns (model, source) or (None, None).
+    """
     try:
-        import torch
+        import torch  # noqa: F401
         import torch.nn as nn
     except ImportError:
-        return None
+        return None, None
     try:
         if spec.family == "efficientnet":
             from efficientnet_pytorch import EfficientNet
@@ -85,11 +92,32 @@ def _torch_reference_model(spec, num_classes):
             m = create_model("faster_vit_2_224", pretrained=False)
             m.head = nn.Linear(m.head.in_features, num_classes)
         else:
-            return None
+            return None, None
+        m.eval()
+        return m, "official wheel"
     except ImportError:
-        return None
+        pass
+    # offline fallback: the repo's independent torch reimplementations
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
+    try:
+        if spec.family == "efficientnet":
+            from torch_refs.efficientnet_torch import EfficientNetB3
+
+            m = EfficientNetB3(num_classes=num_classes)
+        elif spec.family == "efficientformerv2":
+            from torch_refs.efficientformer_v2_torch import EfficientFormerV2S1
+
+            m = EfficientFormerV2S1(num_classes=num_classes)
+        elif spec.family == "fastervit":
+            from torch_refs.fastervit_torch import FasterViT2
+
+            m = FasterViT2(num_classes=num_classes)
+        else:
+            return None, None
+    except ImportError:
+        return None, None
     m.eval()
-    return m
+    return m, "in-repo torch_refs reimplementation"
 
 
 def _load_images(images_dir: Path | None, img_size: int, n_synthetic: int, seed: int):
@@ -188,8 +216,11 @@ def run_parity(
             report["auroc"] = roc_auc(labels, probs[:, 1])
 
     # --- tier 3: torch reference comparison ------------------------------
-    torch_model = _torch_reference_model(spec, num_classes) if is_torch_ckpt else None
+    torch_model, torch_src = (
+        _torch_reference_model(spec, num_classes) if is_torch_ckpt else (None, None)
+    )
     if torch_model is not None:
+        report["torch_reference"] = torch_src
         import torch
 
         sd = torch.load(weights, map_location="cpu", weights_only=True)
