@@ -56,3 +56,27 @@ def test_defaults_match_reference():
     assert cfg.data.test_split == "test"
     tb = cfg.models["efficientnet_b3"]
     assert tb.training is None and tb.inference is None
+
+
+def test_shipped_yaml_recipes_build_jobs(tmp_path):
+    """Every shipped config must validate and build typed jobs for every
+    selected model (guards schema drift against the reference recipes)."""
+    from pathlib import Path
+
+    from deepfakedetection_tpu.config import load_config
+    from deepfakedetection_tpu.orchestrator import build_eval_job, build_train_job
+    from deepfakedetection_tpu.runtime.paths import ensure_run_dirs
+
+    repo = Path(__file__).resolve().parents[1]
+    for yaml_name in ("train.yaml", "inference.yaml", "train_imagenette.yaml"):
+        cfg = load_config(repo / "config" / yaml_name)
+        selection = cfg.get("selection") or list(cfg["models"].keys())
+        assert selection, yaml_name
+        for model_name in selection:
+            mc = dict(cfg["models"][model_name], name=model_name)
+            run_paths = ensure_run_dirs(tmp_path / yaml_name / model_name, run_id="t")
+            tj = build_train_job(cfg, model_name, mc, run_paths)
+            ej = build_eval_job(cfg, model_name, mc, run_paths)
+            assert tj.img_size > 0 and tj.batch_size > 0 and tj.epochs > 0
+            assert ej.img_size > 0 and ej.batch_size > 0
+            assert tj.spec.name == model_name and ej.spec.name == model_name
