@@ -57,9 +57,14 @@ def _center_crop_square(arr: np.ndarray, target: int) -> np.ndarray:
     return out
 
 
-def _decode_to_square(img: Image.Image, target: int, *, resize: bool, crop: bool) -> np.ndarray:
+def _decode_to_square(
+    img: Image.Image, target: int, *, resize: bool, crop: bool,
+    resize_target: int | None = None,
+) -> np.ndarray:
+    """shorter-side resize (to ``resize_target`` or ``target``) then center
+    crop to a ``target`` square uint8 array."""
     if resize:
-        img = _resize_shorter(img, target)
+        img = _resize_shorter(img, resize_target or target)
     arr = np.asarray(img, dtype=np.uint8)
     if arr.ndim == 2:  # grayscale slipped through with ensure_rgb off
         arr = np.stack([arr] * 3, axis=-1)
@@ -80,14 +85,10 @@ def decode_pil_eval(img: Image.Image, plan: EvalTransformPlan) -> np.ndarray:
         img = _ensure_rgb(img)
     elif img.mode != "RGB":  # static-shape requirement still needs 3 channels
         img = img.convert("RGB")
-    if plan.resize:
-        img = _resize_shorter(img, plan.resize_size or plan.img_size)
-    arr = np.asarray(img, dtype=np.uint8)
-    if arr.ndim == 2:
-        arr = np.stack([arr] * 3, axis=-1)
-    if plan.center_crop or arr.shape[:2] != (plan.img_size, plan.img_size):
-        arr = _center_crop_square(arr, plan.img_size)
-    return arr
+    return _decode_to_square(
+        img, plan.img_size, resize=plan.resize, crop=plan.center_crop,
+        resize_target=plan.resize_size or plan.img_size,
+    )
 
 
 def decode_eval(path: str | Path, plan: EvalTransformPlan) -> np.ndarray:

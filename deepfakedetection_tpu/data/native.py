@@ -43,6 +43,13 @@ def _lib() -> ctypes.CDLL | None:
         ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_int),
         ctypes.c_int,
     ]
+    if hasattr(lib, "dfd_decode_batch_rc"):
+        lib.dfd_decode_batch_rc.restype = ctypes.c_int
+        lib.dfd_decode_batch_rc.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+        ]
     return lib
 
 
@@ -87,23 +94,44 @@ def decode_buffer(data: bytes, target: int) -> np.ndarray:
 
 
 def decode_batch(
-    paths: list[str | Path], target: int, *, n_threads: int = 4
+    paths: list[str | Path],
+    target: int,
+    *,
+    n_threads: int = 4,
+    resize_target: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Thread-pool batch decode → (uint8 [N, target, target, 3], status [N]).
 
-    Per-image status is 0 on success; failed slots are zero-filled. The
-    thread pool lives in C++ (no GIL contention)."""
+    ``resize_target`` sets the shorter-side resize before the DIRECT center
+    crop to ``target`` (trainer-val over-resize geometry, data/transforms);
+    default is ``target`` itself. Per-image status is 0 on success; failed
+    slots are zero-filled. The thread pool lives in C++ (no GIL contention).
+    """
     lib = _lib()
     if lib is None:
         raise RuntimeError(f"native loader not available at {_LIB_PATH}")
+    resize = int(resize_target) if resize_target else int(target)
+    if resize != target and not hasattr(lib, "dfd_decode_batch_rc"):
+        raise RuntimeError(
+            "native library is stale (no dfd_decode_batch_rc); rebuild with "
+            "`make -C native` or use the PIL path"
+        )
     n = len(paths)
     out = np.zeros((n, target, target, 3), np.uint8)
     status = np.zeros((n,), np.int32)
     c_paths = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
-    lib.dfd_decode_batch(
-        c_paths, n, target,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
-        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-        max(int(n_threads), 1),
-    )
+    if hasattr(lib, "dfd_decode_batch_rc"):
+        lib.dfd_decode_batch_rc(
+            c_paths, n, resize, target,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            max(int(n_threads), 1),
+        )
+    else:
+        lib.dfd_decode_batch(
+            c_paths, n, target,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            max(int(n_threads), 1),
+        )
     return out, status

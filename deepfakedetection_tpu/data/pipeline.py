@@ -8,8 +8,13 @@ trainers/efficientnet.py:216-233) with a TPU-shaped loader:
   batch like ``drop_last`` semantics implied by fixed accumulation
 - deterministic per-epoch shuffling from ``(seed, epoch)`` — torch's
   ``set_epoch`` idiom — fully reproducible across processes
-- multi-host: each process decodes a disjoint contiguous shard of the epoch
-  order (both train and eval); eval results are re-assembled with
+- multi-host: the GLOBAL batch of ``batch_size`` rows is assembled across
+  processes (``parallel.mesh.shard_batch``); each process decodes only its
+  ``batch_size / process_count`` rows from a disjoint contiguous shard of
+  the identical epoch order. Per-process batch counts are EXACTLY equal
+  (jitted steps over a multi-host mesh run in lockstep): train drops the
+  sub-process-count global remainder, eval pads with ``-1`` sentinel slots
+  that decode to masked rows. Eval results re-assemble with
   ``parallel.multihost.allgather_examples``
 - decode backends: the native C++ thread-pool decoder (data/native.py) when
   built, else PIL in a thread pool (PIL releases the GIL for decode/resize)
@@ -84,61 +89,105 @@ class Loader:
         """Advance the shuffle stream (torch DistributedSampler idiom)."""
         self._epoch = int(epoch)
 
+    @staticmethod
+    def _processes() -> tuple[int, int]:
+        import jax
+
+        return jax.process_count(), jax.process_index()
+
+    def _local_batch_rows(self) -> int:
+        """Rows each process contributes per GLOBAL batch of ``batch_size``.
+
+        The jitted step consumes the global batch (assembled across hosts by
+        ``parallel.mesh.shard_batch``); each process decodes only its slice.
+        Single-process this is just ``batch_size``."""
+        pc, _ = self._processes()
+        return max(self.batch_size // pc, 1)
+
+    def _shard_len(self) -> int:
+        """Per-process epoch length — IDENTICAL on every process.
+
+        Jitted steps over a multi-host mesh execute in lockstep (every
+        process must join every step, collectives or not), so per-process
+        batch counts must match exactly:
+        - shuffle (train): each process takes exactly ``n // pc`` samples —
+          the global remainder (< pc samples) is dropped for the epoch, the
+          distributed analogue of ``drop_last``
+        - eval: ``ceil(n / pc)`` slots per process, the tail padded with a
+          ``-1`` sentinel that decodes to a masked row — disjoint, jointly
+          exhaustive, and count-aligned.
+        """
+        n = len(self.dataset)
+        pc, _ = self._processes()
+        if pc == 1:
+            return n
+        return n // pc if self.shuffle else -(-n // pc)
+
     def _order(self) -> np.ndarray:
-        """THIS process's sample indices for the current epoch.
+        """THIS process's sample slots for the current epoch (may contain
+        ``-1`` padding sentinels on multi-host eval — see ``_shard_len``).
 
         The full-epoch order (seeded permutation when shuffling) is computed
         identically on every process, then contiguously sharded so processes
-        decode disjoint, jointly-exhaustive subsets (SURVEY.md §5.8; eval
-        sharding re-assembles via allgather_examples)."""
+        decode disjoint subsets (SURVEY.md §5.8; eval results re-assemble
+        via allgather_examples)."""
         n = len(self.dataset)
         if self.shuffle:
             rng = np.random.default_rng([self.seed, self._epoch])
             order = rng.permutation(n)
         else:
             order = np.arange(n)
-        from deepfakedetection_tpu.parallel.multihost import process_shard
-
-        start, end = process_shard(n)
-        return order[start:end]
+        pc, pi = self._processes()
+        if pc == 1:
+            return order
+        per = self._shard_len()
+        if not self.shuffle and per * pc > n:
+            padded = np.full(per * pc, -1, order.dtype)
+            padded[:n] = order
+            order = padded
+        return order[pi * per : (pi + 1) * per]
 
     def __len__(self) -> int:
-        n = len(self._order())
+        rows = self._local_batch_rows()
+        n = self._shard_len()
         if self.drop_last:
-            return n // self.batch_size
-        return -(-n // self.batch_size)
+            return n // rows
+        return -(-n // rows)
 
     # -- decode ------------------------------------------------------------
     def _decode_indices(self, idx: np.ndarray) -> Batch:
-        labels = np.asarray([self.dataset.samples[i][1] for i in idx], np.int64)
-        B = self.batch_size
+        """Decode one local batch slot list (``-1`` entries are padding)."""
+        B = self._local_batch_rows()
         images = np.zeros((B, self._target, self._target, 3), np.uint8)
+        labels = np.zeros((B,), np.int64)
+        mask = np.zeros((B,), bool)
+        valid_pos = [k for k, i in enumerate(idx) if int(i) >= 0]
+        for k in valid_pos:
+            labels[k] = self.dataset.samples[int(idx[k])][1]
         if self.cache_decoded:
             todo = [
-                (k, int(i)) for k, i in enumerate(idx) if int(i) not in self._cache
+                k for k in valid_pos if int(idx[k]) not in self._cache
             ]
             if todo:
-                sub = self._decode_raw(np.asarray([i for _, i in todo]))
-                for (k, i), arr, good in zip(todo, sub[0], sub[1]):
+                sub = self._decode_raw(np.asarray([int(idx[k]) for k in todo]))
+                for k, arr, good in zip(todo, sub[0], sub[1]):
                     if good:
-                        self._cache[i] = arr
-            ok = np.ones(len(idx), bool)
-            for k, i in enumerate(idx):
-                arr = self._cache.get(int(i))
-                if arr is None:
-                    ok[k] = False
-                else:
+                        self._cache[int(idx[k])] = arr
+            for k in valid_pos:
+                arr = self._cache.get(int(idx[k]))
+                if arr is not None:
                     images[k] = arr
-        else:
-            decoded, ok = self._decode_raw(idx)
-            images[: len(idx)] = decoded
-        mask = np.zeros((B,), bool)
-        mask[: len(idx)] = ok
-        padded_labels = np.zeros((B,), np.int64)
-        padded_labels[: len(idx)] = labels
+                    mask[k] = True
+        elif valid_pos:
+            decoded, ok = self._decode_raw(
+                np.asarray([int(idx[k]) for k in valid_pos])
+            )
+            for j, k in enumerate(valid_pos):
+                images[k] = decoded[j]
+                mask[k] = ok[j]
         return Batch(
             images=images,
-            labels=padded_labels,
+            labels=labels,
             mask=mask,
             num_valid=int(mask.sum()),
         )
@@ -148,19 +197,18 @@ class Loader:
         paths = [self.dataset.samples[i][0] for i in idx]
         if self.use_native:
             # eval plans may over-resize before the crop (trainer-val
-            # geometry); the native decoder produces the resize_size square,
-            # then the compose-of-center-crops slice yields img_size
-            nat_target = (
+            # geometry); the native decoder takes separate resize/crop
+            # targets and performs the DIRECT center crop (a composed
+            # double-crop would shift 1px on odd remainders)
+            resize = (
                 self._target
                 if self._train
                 else (self.plan.resize_size or self.plan.img_size)
             )
             decoded, status = native.decode_batch(
-                paths, nat_target, n_threads=max(self.num_workers, 1)
+                paths, self._target, n_threads=max(self.num_workers, 1),
+                resize_target=resize,
             )
-            if nat_target != self._target:
-                off = (nat_target - self._target) // 2
-                decoded = decoded[:, off : off + self._target, off : off + self._target]
             return decoded, status == 0
         decode = (
             (lambda p: decode_train(p, self.plan))
@@ -168,15 +216,23 @@ class Loader:
             else (lambda p: decode_eval(p, self.plan))
         )
         if self.num_workers > 0:
-            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                arrays = list(pool.map(decode, paths))
+            arrays = list(self._decode_pool().map(decode, paths))
         else:
             arrays = [decode(p) for p in paths]
         return np.stack(arrays), np.ones(len(idx), bool)
 
+    def _decode_pool(self) -> ThreadPoolExecutor:
+        """Persistent PIL-decode pool (a per-batch pool would pay thread
+        spawn/join on every batch of the epoch)."""
+        pool = getattr(self, "_pool", None)
+        if pool is None:
+            pool = ThreadPoolExecutor(max_workers=self.num_workers)
+            self._pool = pool
+        return pool
+
     def __iter__(self) -> Iterator[Batch]:
         order = self._order()
-        B = self.batch_size
+        B = self._local_batch_rows()
         n_full = len(order) // B
         chunks = [order[i * B : (i + 1) * B] for i in range(n_full)]
         if not self.drop_last and len(order) > n_full * B:

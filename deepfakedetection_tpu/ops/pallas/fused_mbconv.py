@@ -141,7 +141,11 @@ def fused_mbconv_se(
         functools.partial(_block_kernel, K=K, W=W, H=H, Hp=Hp),
         out_shape=jax.ShapeDtypeStruct((B, Hp, W, Cout), jnp.bfloat16),
         grid=(B,),
-        in_specs=[pl.BlockSpec(memory_space=getattr(pl, "ANY", pltpu.ANY))]
+        in_specs=[
+            pl.BlockSpec(
+                memory_space=getattr(pl, "ANY", None) or pltpu.ANY
+            )
+        ]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
         out_specs=pl.BlockSpec(
             (1, Hp, W, Cout), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM

@@ -82,6 +82,19 @@ def default_mesh() -> Mesh:
 
 
 def shard_batch(mesh: Mesh, arrays: Any) -> Any:
-    """Device-put host arrays with batch sharding over the data axis."""
+    """Assemble host batches onto the mesh with batch sharding over "data".
+
+    Single-process: a plain ``device_put``. Multi-process (pods): each host
+    holds only ITS shard of the global batch (the loader decodes disjoint
+    row ranges — data/pipeline.Loader), so the global array is assembled
+    with ``jax.make_array_from_process_local_data`` — a bare ``device_put``
+    would instead treat every host's local rows as the full global value
+    and silently consume only each host's own slice of it.
+    """
     sharding = batch_sharding(mesh)
-    return jax.tree.map(lambda a: jax.device_put(a, sharding), arrays)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda a: jax.device_put(a, sharding), arrays)
+    return jax.tree.map(
+        lambda a: jax.make_array_from_process_local_data(sharding, np.asarray(a)),
+        arrays,
+    )

@@ -265,32 +265,36 @@ void resample(const ImageU8& in, int out_w, int out_h, ImageU8* out) {
   }
 }
 
-// shorter-side resize to target then center crop/pad to target x target
-void shape_to_square(const ImageU8& in, int target, unsigned char* out) {
+// shorter-side resize to resize_target then DIRECT center crop/pad to
+// crop_target x crop_target (single-crop offsets (rh-crop)/2, (rw-crop)/2 —
+// composing two center crops would shift 1px on odd remainders)
+void shape_to_square(const ImageU8& in, int resize_target, int crop_target,
+                     unsigned char* out) {
   int rw, rh;
   if (in.w <= in.h) {
-    rw = target;
+    rw = resize_target;
     rh = std::max(1, static_cast<int>(std::lround(
-                       static_cast<double>(in.h) * target / in.w)));
+                       static_cast<double>(in.h) * resize_target / in.w)));
   } else {
-    rh = target;
+    rh = resize_target;
     rw = std::max(1, static_cast<int>(std::lround(
-                       static_cast<double>(in.w) * target / in.h)));
+                       static_cast<double>(in.w) * resize_target / in.h)));
   }
   ImageU8 resized;
   resample(in, rw, rh, &resized);
-  std::memset(out, 0, static_cast<size_t>(target) * target * 3);
-  int top = (rh - target) / 2;
-  int left = (rw - target) / 2;
-  for (int y = 0; y < target; ++y) {
+  std::memset(out, 0, static_cast<size_t>(crop_target) * crop_target * 3);
+  int top = (rh - crop_target) / 2;
+  int left = (rw - crop_target) / 2;
+  for (int y = 0; y < crop_target; ++y) {
     int sy = y + top;
     if (sy < 0 || sy >= rh) continue;
     int sx0 = std::max(0, left);
-    int sx1 = std::min(rw, left + target);
+    int sx1 = std::min(rw, left + crop_target);
     if (sx1 <= sx0) continue;
-    std::memcpy(out + (static_cast<size_t>(y) * target + (sx0 - left)) * 3,
-                resized.data.data() + (static_cast<size_t>(sy) * rw + sx0) * 3,
-                static_cast<size_t>(sx1 - sx0) * 3);
+    std::memcpy(
+        out + (static_cast<size_t>(y) * crop_target + (sx0 - left)) * 3,
+        resized.data.data() + (static_cast<size_t>(sy) * rw + sx0) * 3,
+        static_cast<size_t>(sx1 - sx0) * 3);
   }
 }
 
@@ -332,14 +336,21 @@ int dfd_version() { return 1; }
 
 const char* dfd_last_error() { return g_last_error.c_str(); }
 
-// Decode one image file → uint8 RGB [target, target, 3]. Returns 0 on success.
-int dfd_decode_image(const char* path, int target, unsigned char* out) {
+// Decode one file: shorter-side resize to resize_target, center crop to
+// crop_target → uint8 RGB [crop, crop, 3]. Returns 0 on success.
+int dfd_decode_image_rc(const char* path, int resize_target, int crop_target,
+                        unsigned char* out) {
   std::vector<unsigned char> buf;
   if (!read_file(path, &buf)) return 1;
   ImageU8 img;
-  if (!decode_any(buf.data(), buf.size(), target, &img)) return 2;
-  shape_to_square(img, target, out);
+  if (!decode_any(buf.data(), buf.size(), resize_target, &img)) return 2;
+  shape_to_square(img, resize_target, crop_target, out);
   return 0;
+}
+
+// Decode one image file → uint8 RGB [target, target, 3]. Returns 0 on success.
+int dfd_decode_image(const char* path, int target, unsigned char* out) {
+  return dfd_decode_image_rc(path, target, target, out);
 }
 
 // Decode from an in-memory buffer (web-UI / streaming path).
@@ -347,23 +358,26 @@ int dfd_decode_buffer(const unsigned char* buf, long len, int target,
                       unsigned char* out) {
   ImageU8 img;
   if (!decode_any(buf, static_cast<size_t>(len), target, &img)) return 2;
-  shape_to_square(img, target, out);
+  shape_to_square(img, target, target, out);
   return 0;
 }
 
-// Thread-pool batch decode. paths: array of n C strings; out: n*target²*3
-// bytes. status: per-image 0/err. Returns count of failures.
-int dfd_decode_batch(const char** paths, int n, int target, unsigned char* out,
-                     int* status, int n_threads) {
+// Thread-pool batch decode with separate resize/crop targets. paths: array
+// of n C strings; out: n*crop²*3 bytes. status: per-image 0/err. Returns
+// count of failures.
+int dfd_decode_batch_rc(const char** paths, int n, int resize_target,
+                        int crop_target, unsigned char* out, int* status,
+                        int n_threads) {
   if (n_threads < 1) n_threads = 1;
   std::atomic<int> next{0};
   std::atomic<int> failures{0};
-  size_t stride = static_cast<size_t>(target) * target * 3;
+  size_t stride = static_cast<size_t>(crop_target) * crop_target * 3;
   auto worker = [&]() {
     for (;;) {
       int i = next.fetch_add(1);
       if (i >= n) return;
-      int rc = dfd_decode_image(paths[i], target, out + stride * i);
+      int rc = dfd_decode_image_rc(paths[i], resize_target, crop_target,
+                                   out + stride * i);
       status[i] = rc;
       if (rc != 0) failures.fetch_add(1);
     }
@@ -374,6 +388,12 @@ int dfd_decode_batch(const char** paths, int n, int target, unsigned char* out,
   for (int t = 0; t < spawn; ++t) threads.emplace_back(worker);
   for (auto& th : threads) th.join();
   return failures.load();
+}
+
+// Back-compat: equal resize/crop targets.
+int dfd_decode_batch(const char** paths, int n, int target, unsigned char* out,
+                     int* status, int n_threads) {
+  return dfd_decode_batch_rc(paths, n, target, target, out, status, n_threads);
 }
 
 }  // extern "C"

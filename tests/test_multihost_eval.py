@@ -96,3 +96,52 @@ def test_allgather_examples_single_process_identity():
     arr = np.arange(12, dtype=np.float32).reshape(6, 2)
     out = allgather_examples(arr)
     np.testing.assert_array_equal(out, arr)
+
+
+def test_lockstep_batch_counts_with_remainders(tiny_image_tree, monkeypatch):
+    """Per-process batch counts must be EXACTLY equal (jitted multi-host
+    steps run in lockstep) even when neither the dataset size nor the batch
+    divides the process count: train drops the global remainder, eval pads
+    with -1 sentinels that decode to masked rows."""
+    import jax
+
+    ds = scan_image_folder(tiny_image_tree / "train")  # 16 images
+    n, pc = len(ds), 3
+    tplan = build_train_plan(32, {})
+    eplan = build_eval_plan(32, {})
+
+    per_proc = []
+    for pi in range(pc):
+        monkeypatch.setattr(jax, "process_count", lambda: pc)
+        monkeypatch.setattr(jax, "process_index", lambda pi=pi: pi)
+        tl = make_train_loader(ds, tplan, batch_size=6, seed=1, num_workers=0)
+        el = make_eval_loader(ds, eplan, batch_size=6, num_workers=0)
+        tb = list(tl)
+        eb = list(el)
+        per_proc.append(
+            dict(
+                t_len=len(tl), t_batches=len(tb),
+                e_len=len(el), e_batches=len(eb),
+                t_rows=[b.images.shape[0] for b in tb],
+                e_valid=[int(b.mask.sum()) for b in eb],
+                e_labels=np.concatenate([b.labels[b.mask] for b in eb]) if eb else np.array([]),
+                t_order=np.asarray(tl._order()),
+                e_order=np.asarray(el._order()),
+            )
+        )
+    monkeypatch.undo()
+
+    t_counts = {p["t_batches"] for p in per_proc}
+    e_counts = {p["e_batches"] for p in per_proc}
+    assert len(t_counts) == 1 and len(e_counts) == 1  # lockstep
+    assert all(p["t_len"] == p["t_batches"] for p in per_proc)
+    assert all(p["e_len"] == p["e_batches"] for p in per_proc)
+    # local rows per batch = global batch / pc (= 2 for batch 6, pc 3)
+    assert all(r == 2 for p in per_proc for r in p["t_rows"])
+    # train: disjoint, each exactly n//pc samples (global remainder dropped)
+    t_all = np.concatenate([p["t_order"] for p in per_proc])
+    assert len(t_all) == (n // pc) * pc == len(np.unique(t_all))
+    # eval: jointly exhaustive over the real dataset; sentinels masked out
+    e_all = np.concatenate([p["e_order"] for p in per_proc])
+    assert sorted(e_all[e_all >= 0].tolist()) == list(range(n))
+    assert sum(sum(p["e_valid"]) for p in per_proc) == n

@@ -68,3 +68,21 @@ def test_train_loader_native_backend(tiny_image_tree):
     np.testing.assert_array_equal(batch.labels, pil_batch.labels)
     diff = np.abs(batch.images.astype(int) - pil_batch.images.astype(int))
     assert diff.mean() < 2.0
+
+
+def test_native_trainer_val_geometry_matches_pil(smooth_images):
+    """Separate resize/crop targets: the native direct center crop must match
+    the PIL trainer-val path (over-resize 1.15x then crop) without the 1px
+    shift a composed double-crop would introduce on odd remainders."""
+    from deepfakedetection_tpu.data.transforms import build_eval_plan
+
+    jpg, png = smooth_images
+    plan = build_eval_plan(96, trainer_val=True)
+    assert plan.resize_size == 128
+    for path in (jpg, png):
+        pil = decode_eval(path, plan)
+        nat, status = native.decode_batch([path], 96, resize_target=128)
+        assert status[0] == 0
+        assert nat[0].shape == pil.shape == (96, 96, 3)
+        diff = np.abs(pil.astype(int) - nat[0].astype(int))
+        assert diff.mean() < 2.0, diff.mean()

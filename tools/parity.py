@@ -98,7 +98,9 @@ def _torch_reference_model(spec, num_classes):
     except ImportError:
         pass
     # offline fallback: the repo's independent torch reimplementations
-    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
+    tests_dir = str(Path(__file__).resolve().parent.parent / "tests")
+    if tests_dir not in sys.path:
+        sys.path.append(tests_dir)  # append: never shadow real modules
     try:
         if spec.family == "efficientnet":
             from torch_refs.efficientnet_torch import EfficientNetB3
