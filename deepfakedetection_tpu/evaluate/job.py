@@ -171,12 +171,16 @@ def _collect_probs(eval_step, params, batch_stats, loader, plan, mesh, compute_d
             masks.append(batch.mask)
             targets_list.append(batch.labels[batch.mask])
             speed = advance(int(batch.mask.sum()))
+    from deepfakedetection_tpu.parallel.multihost import local_rows
+
     if not device_probs:
         probs = np.zeros((0, 2))
         targets = np.zeros((0,), np.int64)
     else:
+        # pods: fetch only this process's rows of each batch-sharded probs
+        # array (aligned with its local masks); single-process = np.asarray
         probs = np.concatenate(
-            [np.asarray(p)[m] for p, m in zip(device_probs, masks)]
+            [local_rows(p)[m] for p, m in zip(device_probs, masks)]
         )
         targets = np.concatenate(targets_list)
     # multi-host: each process evaluated a disjoint shard (pipeline._order);

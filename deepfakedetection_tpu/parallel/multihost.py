@@ -42,6 +42,25 @@ def process_shard(n_items: int) -> tuple[int, int]:
     return start, end
 
 
+def local_rows(arr):
+    """THIS process's rows of a batch-sharded device array, in batch order.
+
+    Single-process (fully-addressable) arrays fetch directly. On pods the
+    global array's rows live across hosts — ``np.asarray`` would raise on
+    non-addressable shards — so only the addressable shards are fetched and
+    concatenated by their global row offset; the result aligns with the
+    host-local labels/masks the loader produced for the same batch.
+    """
+    import numpy as np
+
+    if getattr(arr, "is_fully_addressable", True):
+        return np.asarray(arr)
+    shards = sorted(
+        arr.addressable_shards, key=lambda s: s.index[0].start or 0
+    )
+    return np.concatenate([np.asarray(s.data) for s in shards])
+
+
 def allgather_examples(arr):
     """Concatenate per-process example arrays (ragged leading dim) across
     hosts, in process order — so sharded eval still produces the full

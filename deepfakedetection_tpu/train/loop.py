@@ -134,8 +134,12 @@ def evaluate(
             speed = advance(int(batch.mask.sum()))
     correct = 0
     total = 0
+    from deepfakedetection_tpu.parallel.multihost import local_rows
+
     for probs, valid, lab in zip(device_probs, masks, labels):
-        preds = np.asarray(probs).argmax(axis=-1)
+        # pods: fetch only this process's rows (aligned with its local
+        # labels/mask); single-process this is a plain np.asarray
+        preds = local_rows(probs).argmax(axis=-1)
         correct += int((preds[valid] == lab[valid]).sum())
         total += int(valid.sum())
     # multi-host: every process saw a disjoint shard — combine the counts

@@ -145,3 +145,19 @@ def test_lockstep_batch_counts_with_remainders(tiny_image_tree, monkeypatch):
     e_all = np.concatenate([p["e_order"] for p in per_proc])
     assert sorted(e_all[e_all >= 0].tolist()) == list(range(n))
     assert sum(sum(p["e_valid"]) for p in per_proc) == n
+
+
+def test_local_rows_fetches_sharded_rows_in_order():
+    """local_rows on an 8-device-sharded array must equal the full array
+    (single host owns all shards; ordering by global row offset)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from deepfakedetection_tpu.parallel.mesh import make_mesh
+    from deepfakedetection_tpu.parallel.multihost import local_rows
+
+    mesh = make_mesh(8, 1)
+    arr = jnp.arange(32.0).reshape(16, 2)
+    sharded = jax.device_put(arr, NamedSharding(mesh, P("data")))
+    np.testing.assert_array_equal(local_rows(sharded), np.asarray(arr))
