@@ -75,6 +75,7 @@ def bench_train(
     batch: int = 128,
     steps: int = 10,
     img_size: int = 224,
+    model_kwargs: dict | None = None,
 ) -> float:
     """Train-step throughput (fwd+bwd+AdamW update), on-device scan loop."""
     from deepfakedetection_tpu.registry import get_model_spec
@@ -86,7 +87,7 @@ def bench_train(
     )
 
     spec = get_model_spec(model_name)
-    model = spec.builder(2, dtype=jnp.bfloat16)
+    model = spec.builder(2, dtype=jnp.bfloat16, **(model_kwargs or {}))
     params, batch_stats = init_model_variables(
         model, jax.random.key(0), (1, img_size, img_size, 3)
     )
@@ -143,7 +144,10 @@ def main() -> None:
     suffix = "_official" if args.official else ""
 
     if args.mode == "train":
-        img_s = bench_train(args.model, min(args.batch, 128), max(args.steps // 3, 5))
+        img_s = bench_train(
+            args.model, min(args.batch, 128), max(args.steps // 3, 5),
+            model_kwargs=kwargs,
+        )
         metric = f"train_throughput_224px_{args.model}{suffix}"
     else:
         img_s = bench_eval(args.model, args.batch, args.steps, model_kwargs=kwargs)

@@ -32,16 +32,6 @@ def maybe_initialize() -> None:
         _initialized = True
 
 
-def process_shard(n_items: int) -> tuple[int, int]:
-    """[start, end) of this process's contiguous shard of a sample list."""
-    pc = jax.process_count()
-    pi = jax.process_index()
-    per = n_items // pc
-    start = pi * per
-    end = start + per if pi < pc - 1 else n_items
-    return start, end
-
-
 def local_rows(arr):
     """THIS process's rows of a batch-sharded device array, in batch order.
 

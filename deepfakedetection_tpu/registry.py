@@ -96,20 +96,38 @@ def _build_fastervit(num_classes: int, variant: str = "2", **kw: Any):
 
 
 def _efficientformer_variant(name: str) -> str:
-    """'efficientformerv2_s1' / 'efficientformer_v2_l' → 's1'/'l' (the
-    reference forwards the full name to timm, so any published variant
-    works — model_registry.py:39-40); unknown suffixes default to s1."""
+    """'efficientformerv2_s1' / 'efficientformer_v2_l' → 's1'/'l'.
+
+    The reference forwards the full name to timm (model_registry.py:39-40),
+    which RAISES for unknown variants — a silent default would build the
+    wrong architecture and then strict=False weight loading would hide the
+    mismatch as near-chance metrics."""
     tail = name.rsplit("_", 1)[-1].lower()
-    return tail if tail in ("s0", "s1", "s2", "l") else "s1"
+    if tail in ("s0", "s1", "s2", "l"):
+        return tail
+    if tail in ("l1", "l3", "l7"):
+        raise KeyError(
+            f"'{name}' is an EfficientFormer V1 model; this framework "
+            "implements V2 (efficientformerv2_{s0,s1,s2,l}) — the family the "
+            "reference fine-tunes (trainers/efficientformer_v2.py:327)"
+        )
+    raise KeyError(
+        f"unknown EfficientFormerV2 variant in '{name}' "
+        "(known: s0, s1, s2, l)"
+    )
 
 
 def _fastervit_variant(name: str) -> str:
     """'faster_vit_2_224' → '2' (the wheel registers faster_vit_{0..4}_224,
-    fastervit.py:371); unknown numbering defaults to 2."""
+    fastervit.py:371, and raises for anything else — so do we)."""
     import re
 
     m = re.match(r"faster_vit_(\d)", name)
-    return m.group(1) if m and m.group(1) in "01234" else "2"
+    if m and m.group(1) in "01234":
+        return m.group(1)
+    raise KeyError(
+        f"unknown FasterViT variant in '{name}' (known: faster_vit_0..4, the wheel's registry)"
+    )
 
 
 _EFFICIENTNET_RECIPE = TrainRecipe(

@@ -8,7 +8,15 @@ from deepfakedetection_tpu.registry import get_model_spec
 def test_exact_and_prefix_matching():
     assert get_model_spec("efficientnet_b3").family == "efficientnet"
     assert get_model_spec("efficientformerv2_s1").family == "efficientformerv2"
-    assert get_model_spec("efficientformer_l1").family == "efficientformerv2"
+    assert get_model_spec("efficientformer_v2_l").family == "efficientformerv2"
+    # unknown variants raise instead of silently building the wrong net
+    # (timm raises for them too; strict=False loading would otherwise hide it)
+    with pytest.raises(KeyError, match="V1"):
+        get_model_spec("efficientformer_l1")
+    with pytest.raises(KeyError):
+        get_model_spec("efficientformerv2_s9")
+    with pytest.raises(KeyError):
+        get_model_spec("faster_vit_9_224")
     assert get_model_spec("faster_vit_2_224").family == "fastervit"
     assert get_model_spec("faster_vit_0_224").family == "fastervit"
 
