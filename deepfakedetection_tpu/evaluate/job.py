@@ -270,7 +270,7 @@ def _run_eval_job(job: EvalJob) -> EvalResult | None:
     if job.num_classes == 2:
         metrics["threshold"] = float(best_threshold)
 
-    cm = confusion(targets, preds)
+    cm = confusion(targets, preds, num_classes=job.num_classes)
     metrics["confusion_matrix"] = cm.tolist()
     save_confusion_matrix(cm, test_ds.classes, job.run_paths.plots / "confusion_matrix.png")
     if job.num_classes == 2 and np.unique(targets).size > 1:

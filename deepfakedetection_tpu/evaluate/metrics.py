@@ -32,10 +32,12 @@ def sweep_threshold(scores: np.ndarray, targets: np.ndarray) -> float:
 
 
 def confusion(targets: np.ndarray, preds: np.ndarray, num_classes: int | None = None) -> np.ndarray:
-    labels = np.unique(np.concatenate([targets, preds]))
-    if num_classes is not None:
-        labels = np.arange(max(num_classes, labels.max() + 1 if labels.size else 1))
-    n = len(labels)
+    """Confusion matrix sized to cover every RAW label value (indexing is by
+    label, so missing/non-contiguous classes must not shrink the matrix)."""
+    targets = np.asarray(targets, np.int64)
+    preds = np.asarray(preds, np.int64)
+    max_label = int(max(targets.max(initial=-1), preds.max(initial=-1)))
+    n = max(num_classes or 0, max_label + 1, 1)
     cm = np.zeros((n, n), dtype=np.int64)
     for t, p in zip(targets, preds):
         cm[int(t), int(p)] += 1

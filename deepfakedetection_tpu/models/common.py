@@ -56,10 +56,12 @@ class BatchNorm2d(nn.Module):
     """Standalone BatchNorm over NHWC (f32 stats, override-aware momentum).
 
     Drop-in for flax nn.BatchNorm where a bare norm is needed (stage outputs);
-    sharing the ConvBN stat machinery keeps recalibration uniform.
+    sharing the ConvBN stat machinery keeps recalibration uniform. Default
+    momentum 0.9 matches torch BatchNorm2d (momentum 0.1 = decay 0.9), the
+    convention of the timm/fastervit references and ConvBN.
     """
 
-    momentum: float = 0.99
+    momentum: float = 0.9
     epsilon: float = 1e-5
     dtype: Dtype = jnp.bfloat16
 
@@ -85,7 +87,7 @@ class BatchNorm2d(nn.Module):
             ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
             ra_var.value = m * ra_var.value + (1.0 - m) * var
         y = (y - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
-        return y
+        return y.astype(self.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))

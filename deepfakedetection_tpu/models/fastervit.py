@@ -73,7 +73,16 @@ def _tpu_heads(dim: int, official: tuple[int, ...]) -> tuple[int, ...]:
     heads = []
     for stage in range(len(official)):
         stage_dim = dim * (2**stage)
-        heads.append(max(stage_dim // 128, 1))
+        h = max(stage_dim // 128, 1)
+        # head count must divide the stage dim (qkv reshape [.., h, dim//h]);
+        # walk down to the nearest divisor, falling back to the official
+        # count (always valid) — e.g. FasterViT-4's dim 196 stages have no
+        # ~128-wide divisor split
+        while h > 1 and stage_dim % h:
+            h -= 1
+        if stage_dim % h:
+            h = official[stage]
+        heads.append(h)
     return tuple(heads)
 
 _LAYER_SCALE_INIT = 1e-5
@@ -492,6 +501,12 @@ class FasterViT(nn.Module):
         B, H, W, _ = x.shape
         ws = self.window_size
         use_ct = H > ws or W > ws
+        if use_ct and (H % ws or W % ws):
+            raise ValueError(
+                f"FasterViT stage-3 resolution {H}x{W} (img_size / 16) must "
+                f"be divisible by window_size {ws}; use an img_size that is a "
+                f"multiple of {16 * ws} (e.g. 224) or adjust window_size"
+            )
         if use_ct:
             nWh, nWw = H // ws, W // ws
             ct_h = self.ct_size * nWh  # square maps: W-side CT count matches

@@ -31,30 +31,39 @@ def trainable_labels(
     params, predicate: Callable[[str], bool]
 ) -> tuple[object, int, int]:
     """Label tree for optax.multi_transform: 'train' where predicate(path)."""
-    leaves_with_path = jax.tree_util.tree_flatten_with_path(params)
-    labels_flat = []
-    n_train = 0
-    for path, _ in leaves_with_path[0]:
-        names = "/".join(
-            str(getattr(k, "key", getattr(k, "name", str(k)))) for k in path
-        )
-        is_train = predicate(names)
-        labels_flat.append("train" if is_train else "freeze")
-        n_train += int(is_train)
-    labels = jax.tree_util.tree_unflatten(leaves_with_path[1], labels_flat)
+    treedef = jax.tree_util.tree_flatten_with_path(params)[1]
+    labels_flat = [
+        "train" if predicate(p) else "freeze" for p in param_path_strings(params)
+    ]
+    n_train = labels_flat.count("train")
+    labels = jax.tree_util.tree_unflatten(treedef, labels_flat)
     return labels, n_train, len(labels_flat)
 
 
 def head_predicate(substrings: tuple[str, ...]) -> Callable[[str], bool]:
     """Match by name substring, like the reference's '_fc'/'head' selection
-    (efficientnet.py:435-437, fastervit.py:400-402)."""
+    (efficientnet.py:435-437, fastervit.py:400-402).
+
+    NOTE: bare-substring semantics are load-bearing parity — the reference's
+    EFv2 warmup predicate ``"head" in name`` also matches timm's
+    ``talking_head1/2`` convs in every stage (efficientformer_v2.py:352), so
+    those train during "head-only" warmup there too. Don't "fix" this to
+    path-component matching without breaking regime parity.
+    """
     subs = tuple(s.lower() for s in substrings)
     return lambda path: any(s in path.lower() for s in subs)
 
 
 def unfreeze_predicate(policy) -> Callable[[str], bool]:
+    """'all', or a tuple of name substrings (UNFREEZE_KEYS semantics,
+    reference efficientformer_v2.py:66-74,390-393 — see head_predicate's
+    note on substring parity)."""
     if policy == "all":
         return lambda path: True
+    if isinstance(policy, str):
+        # a bare string is one substring — tuple(str) would silently iterate
+        # characters and match (and thus unfreeze) nearly everything
+        policy = (policy,)
     subs = tuple(s.lower() for s in policy)
     return lambda path: any(s in path.lower() for s in subs)
 

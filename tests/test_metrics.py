@@ -61,3 +61,20 @@ def test_auc_fallback_matches_sklearn():
     assert roc_auc(targets, scores) == pytest.approx(
         roc_auc_score(targets, scores), abs=1e-9
     )
+
+
+def test_confusion_handles_missing_and_noncontiguous_classes():
+    from deepfakedetection_tpu.evaluate.metrics import confusion
+
+    # class 1 absent entirely: matrix must still be num_classes-sized and
+    # indexable by raw label values
+    t = np.asarray([0, 2, 2, 0])
+    p = np.asarray([0, 2, 0, 2])
+    cm = confusion(t, p, num_classes=3)
+    assert cm.shape == (3, 3)
+    assert cm[0, 0] == 1 and cm[2, 2] == 1 and cm[2, 0] == 1 and cm[0, 2] == 1
+    # degenerate binary case: everything one class, still 2x2
+    cm2 = confusion(np.zeros(4, np.int64), np.zeros(4, np.int64), num_classes=2)
+    assert cm2.shape == (2, 2) and cm2[0, 0] == 4
+    # without num_classes, sized to the max raw label
+    assert confusion(t, p).shape == (3, 3)

@@ -126,3 +126,12 @@ def test_frozen_params_receive_zero_updates():
         np.asarray(params_before["head"]["kernel"]),
         np.asarray(new_state.params["head"]["kernel"]),
     )
+
+
+def test_unfreeze_predicate_string_policy_is_one_substring():
+    from deepfakedetection_tpu.train.optim import unfreeze_predicate
+
+    pred = unfreeze_predicate("head")  # must NOT iterate characters
+    assert pred("stages_3_block0/head/kernel")
+    assert not pred("stem/kernel")  # 'e' in 'stem' would match char-wise
+    assert unfreeze_predicate("all")("anything")

@@ -144,3 +144,26 @@ def test_registry_builders_construct_models():
         spec = get_model_spec(name)
         model = spec.builder(2, dtype=jnp.float32)
         assert hasattr(model, "apply")
+
+
+def test_fastervit_v4_tpu_heads_divide_and_bad_size_raises():
+    """_tpu_heads must pick divisors of the stage dim (FasterViT-4's dim 196
+    has no 128-wide split) and non-multiple-of-112 sizes fail clearly."""
+    import jax
+
+    from deepfakedetection_tpu.models.fastervit import _tpu_heads, create_faster_vit
+
+    for dim, official in ((64, (2, 4, 8, 16)), (96, (2, 4, 8, 16)), (196, (4, 8, 16, 32))):
+        for stage, h in enumerate(_tpu_heads(dim, official)):
+            assert (dim * 2**stage) % h == 0, (dim, stage, h)
+    m = create_faster_vit("4", num_classes=2, dtype=jnp.float32)
+    jax.eval_shape(
+        lambda k: m.init({"params": k}, jnp.zeros((1, 224, 224, 3)), train=False),
+        jax.random.key(0),
+    )
+    m2 = create_faster_vit("2", num_classes=2, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="divisible by window_size"):
+        jax.eval_shape(
+            lambda k: m2.init({"params": k}, jnp.zeros((1, 256, 256, 3)), train=False),
+            jax.random.key(0),
+        )
