@@ -3,10 +3,13 @@
 Per-pixel gather warps run ~345 img/s on v5e (random access defeats the
 VPU). Rotation by θ decomposes into three SHEARS — Shx(-tan θ/2) · Shy(sin θ)
 · Shx(-tan θ/2) — and a shear has per-ROW constant shift, so an 8-row block
-needs only THREE dynamic lane-slices blended with per-row weights (the
-shifts within a block span < 1px for |θ| ≤ 45°·8/rows…; here < 0.8px at
-|θ|≤10°, giving taps at {m, m+1, m+2}). Everything stays in VMEM; zero fill
-at the borders matches torchvision's rotate fill=0.
+needs only FOUR dynamic lane-slices blended with per-row weights: the
+shifts within a block span coef·7 px (coef = tan(θ/2) for the x-shears,
+sin θ for the y-shear), and with span < 2 every row's bilinear pair falls
+in {m0..m0+3}. That bounds validity at |sin θ|·7 < 2 → |θ| ≲ 16.6° (the
+y-shear is the binding constraint — 3 taps were only valid to ~8.2° there).
+Everything stays in VMEM; zero fill at the borders matches torchvision's
+rotate fill=0.
 
 Layout contract: channel planes [B, 3, S, W] with the x-axis on lanes,
 pre-padded by ``pad`` zero lanes on each side (shift headroom). The y-shear
@@ -41,28 +44,27 @@ def _shear_kernel(coef_ref, img_ref, out_ref, *, pad: int, center: float):
     )
     shifts = coef * (rows - center)  # [_BLOCK_ROWS, 1]
 
-    # block-wide scalar base tap; per-row taps fall in {m0, m0+1, m0+2}
+    # block-wide scalar base tap; per-row taps fall in {m0 .. m0+3}
     s_first = coef * (y0 - center)
     s_last = coef * (y0 + (_BLOCK_ROWS - 1) - center)
     m0 = jnp.floor(jnp.minimum(s_first, s_last)).astype(jnp.int32)
 
-    frac = shifts - m0.astype(jnp.float32)  # in [0, 2) given block span < 1
-    # triangle weights of taps k=0,1,2 located at offsets m0+k
-    k = jax.lax.broadcasted_iota(jnp.int32, (1, 3), 1).astype(jnp.float32)
-    w = jnp.maximum(0.0, 1.0 - jnp.abs(frac - k))  # [_BLOCK_ROWS, 3]
+    frac = shifts - m0.astype(jnp.float32)  # in [0, 3) given block span < 2
+    # triangle weights of taps k=0..3 located at offsets m0+k
+    k = jax.lax.broadcasted_iota(jnp.int32, (1, 4), 1).astype(jnp.float32)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(frac - k))  # [_BLOCK_ROWS, 4]
 
     # arbitrary lane offsets aren't sliceable (128-alignment rule) but
     # tpu.dynamic_rotate is: roll the padded block so lane x holds
-    # in[y, x + m0], then the three taps are static +0/+1/+2 rolls
+    # in[y, x + m0], then the four taps are static +0..+3 rolls
     block = img_ref[0, 0, :, :].astype(jnp.float32)  # [_BLOCK_ROWS, W + 2*pad]
     wpad = block.shape[1]
     # left-roll by (pad + m0) expressed as a non-negative right-roll
     rolled = pltpu.roll(block, wpad - (pad + m0), axis=1)
     acc = w[:, 0][:, None] * rolled[:, :W]
-    rolled = pltpu.roll(rolled, wpad - 1, axis=1)  # one further lane left
-    acc = acc + w[:, 1][:, None] * rolled[:, :W]
-    rolled = pltpu.roll(rolled, wpad - 1, axis=1)
-    acc = acc + w[:, 2][:, None] * rolled[:, :W]
+    for tap in range(1, 4):
+        rolled = pltpu.roll(rolled, wpad - 1, axis=1)  # one further lane left
+        acc = acc + w[:, tap][:, None] * rolled[:, :W]
     out_ref[0, 0, :, :] = acc.astype(out_ref.dtype)
 
 
@@ -113,16 +115,19 @@ def rotate_batch(
     """Rotate each image by its angle about the center, zero fill.
 
     ``max_theta`` bounds the shear headroom (lane padding); the per-block
-    3-tap scheme requires |theta| small enough that shifts within an 8-row
-    block span < 1px: |tan(theta/2)|*8 < 1 → fine for |theta| ≤ ~0.24 rad.
+    4-tap scheme requires shifts within an 8-row block to span < 2px:
+    |sin(theta)|*7 < 2 (the y-shear binds before the x-shears'
+    |tan(theta/2)|*7 < 2) → valid for |theta| ≤ ~0.28 rad (16°).
     Larger ``max_theta`` raises — callers must use the exact gather path
-    (data/augment.py dispatches automatically).
+    (data/augment.py dispatches automatically; its threshold is 0.24 rad
+    = 13.7°, comfortably inside the bound).
     """
-    if max_theta > 0.245:
+    if max_theta > 0.28:
         raise ValueError(
-            f"rotate_batch 3-tap shear kernel is only valid for |theta| ≤ "
-            f"~0.24 rad; got max_theta={max_theta:.3f}. Use the gather "
-            "path (data/augment.py _affine_sample) for larger angles."
+            f"rotate_batch 4-tap shear kernel is only valid for |theta| ≤ "
+            f"~0.28 rad (16°; 3-tap was ~0.24 on the x axis but only 0.14 "
+            f"on the y-shear); got max_theta={max_theta:.3f}. Use the "
+            "gather path (data/augment.py _affine_sample) for larger angles."
         )
     _, H, W, _ = imgs.shape
     a = -jnp.tan(thetas / 2.0)

@@ -24,7 +24,6 @@ import numpy as np
 import orbax.checkpoint as ocp
 from flax import serialization
 
-_MSGPACK_MAGIC_HINT = b"\x81"  # msgpack map header — torch zips start with b"PK"
 
 
 def _checkpointer() -> ocp.Checkpointer:

@@ -124,7 +124,7 @@ def fastervit_name_map(
         for m in [re.match(r"stage2_block(\d+)$", p[0])]
         if m and p[1] == "hat"
     )
-    for b in set(hat_blocks):
+    for b in hat_blocks:
         t = f"levels.2.blocks.{b}."
         f = f"stage2_block{b}"
         cpb(f"{t}pos_embed", (f, "pos_embed"))

@@ -254,11 +254,17 @@ def _run_training(job: TrainJob) -> TrainResult:
     def train_one_epoch(train_step, state, loader, epoch_key, desc):
         losses = []
         speed = 0.0
+        # distinct PRNG domain for the step's dropout/drop-path keys: the
+        # step folds in state.step, which coincides with the augmentation's
+        # batch index during the first epoch of a phase — without this
+        # fold_in the dropout masks would be bit-correlated with the
+        # crop/flip draws (split() subkeys are shared prefixes)
+        step_key = jax.random.fold_in(epoch_key, 0x5EED)
         with progress(desc, total=len(loader.dataset)) as advance:
             for (x, labels, mask), num_valid in device_prefetch(
                 loader, epoch_key, train_plan
             ):
-                state, metrics = train_step(state, x, labels, mask, epoch_key)
+                state, metrics = train_step(state, x, labels, mask, step_key)
                 losses.append(metrics["loss"])
                 speed = advance(num_valid)
         mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
@@ -410,9 +416,10 @@ def _run_training(job: TrainJob) -> TrainResult:
             epochs_without_improvement = 0
         else:
             epochs_without_improvement += 1
+        # NB: bracketed text would be parsed (and dropped) as rich markup
         console.print(
             f"  val acc={acc:.4f} ({espeed:.1f} img/s)"
-            + (" [best]" if improved else "")
+            + (" ← best" if improved else "")
         )
         # per-epoch training record in the same append-only metrics surface
         # the eval job uses (logs/metrics.jsonl, orchestrator.py:645-647)

@@ -27,11 +27,12 @@ def test_initialize_from_config_builds_bundles(tmp_path, monkeypatch):
     p = tmp_path / "cfg.yaml"
     p.write_text(yaml.safe_dump(cfg))
 
-    # swap the registry so the heavy B3 never builds
-    import deepfakedetection_tpu.registry as registry
+    # swap the registry so the heavy B3 never builds (web_ui resolves
+    # specs through the orchestrator's build_eval_job)
+    import deepfakedetection_tpu.orchestrator as orchestrator
 
     spec = tiny_spec()
-    monkeypatch.setattr(web_ui, "get_model_spec", lambda name: spec)
+    monkeypatch.setattr(orchestrator, "get_model_spec", lambda name: spec)
     monkeypatch.chdir(tmp_path)
 
     web_ui.initialize_from_config(p)

@@ -35,8 +35,8 @@ from deepfakedetection_tpu.data.transforms import (
     build_eval_plan,
     resolve_transform_mapping,
 )
-from deepfakedetection_tpu.evaluate.job import EvalJob, load_model_for_eval
-from deepfakedetection_tpu.registry import get_model_spec
+from deepfakedetection_tpu.evaluate.job import load_model_for_eval
+from deepfakedetection_tpu.orchestrator import build_eval_job
 from deepfakedetection_tpu.runtime.paths import ensure_run_dirs
 from deepfakedetection_tpu.train.steps import make_eval_step
 
@@ -67,9 +67,6 @@ def initialize_from_config(config_path: Path) -> None:
     global CLASS_LABELS, MODEL_CACHE
     config = load_config(config_path)
     data_cfg: dict[str, Any] = config.get("data", {})
-    num_classes = int(data_cfg.get("num_classes", 2))
-    image_size = int(data_cfg.get("img_size", 224))
-
     labels_cfg = data_cfg.get("class_labels")
     if isinstance(labels_cfg, dict):
         CLASS_LABELS = {int(k): str(v) for k, v in labels_cfg.items()}
@@ -83,23 +80,17 @@ def initialize_from_config(config_path: Path) -> None:
         if not isinstance(model_cfg, dict):
             print(f"[UI] Skipping unknown model '{model_name}' in selection.")
             continue
-        spec = get_model_spec(model_name)
-        toggles = resolve_transform_mapping(model_cfg, phase="eval")
-        plan = build_eval_plan(image_size, toggles)
-        inference_cfg = model_cfg.get("inference") or {}
-        weights = inference_cfg.get("weights")
         run_paths = ensure_run_dirs(
             Path(model_cfg.get("output_dir") or f"runs/{model_name}"), run_id="webui"
         )
-        job = EvalJob(
-            model_name=model_name,
-            spec=spec,
-            run_paths=run_paths,
-            data_root=Path(data_cfg.get("root", "data")),
-            num_classes=num_classes,
-            img_size=image_size,
-            weights=Path(weights) if weights else None,
+        # reuse the orchestrator's job construction — it carries the
+        # img_size fallback chain, model_kwargs/head_config, weights path
+        # resolution, and toggle handling identically to CLI eval
+        job = build_eval_job(
+            config, model_name, dict(model_cfg, name=model_name), run_paths
         )
+        toggles = resolve_transform_mapping(model_cfg, phase="eval")
+        plan = build_eval_plan(job.img_size, toggles)
         model, params, batch_stats = load_model_for_eval(job)
         display_label = str(
             model_cfg.get("display_name") or model_cfg.get("label") or model_name
