@@ -28,7 +28,11 @@ import time
 import jax
 import jax.numpy as jnp
 
-BASELINE_IMG_S = 5000.0
+BASELINE_IMG_S = 5000.0  # driver eval target (BASELINE.md): img/s/chip @224
+# train has no official target; ratio vs this repo's round-1 B3 train
+# measurement (docs/BENCHMARKS.md) so the train metric tracks progress
+# instead of being scored against the eval number
+TRAIN_BASELINE_IMG_S = 1544.0
 
 
 def bench_eval(
@@ -149,16 +153,18 @@ def main() -> None:
             model_kwargs=kwargs,
         )
         metric = f"train_throughput_224px_{args.model}{suffix}"
+        baseline = TRAIN_BASELINE_IMG_S
     else:
         img_s = bench_eval(args.model, args.batch, args.steps, model_kwargs=kwargs)
         metric = f"eval_throughput_224px_{args.model}{suffix}"
+        baseline = BASELINE_IMG_S
     print(
         json.dumps(
             {
                 "metric": metric,
                 "value": round(img_s, 1),
                 "unit": "img/s/chip",
-                "vs_baseline": round(img_s / BASELINE_IMG_S, 3),
+                "vs_baseline": round(img_s / baseline, 3),
             }
         )
     )

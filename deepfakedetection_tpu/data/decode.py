@@ -28,14 +28,16 @@ def _ensure_rgb(img: Image.Image) -> Image.Image:
 
 def _resize_shorter(img: Image.Image, target: int) -> Image.Image:
     """Shorter-side resize, PIL BILINEAR (matches torchvision Resize on PIL;
-    rounding matches the native decoder's lround, dfd_loader.cc:269-279)."""
+    rounding is half-AWAY-from-zero via int(x+0.5) to match the native
+    decoder's lround, dfd_loader.cc:269-279 — Python round() is half-to-even
+    and would disagree on exact-.5 aspect ratios)."""
     w, h = img.size
     if w <= h:
         rw = target
-        rh = max(1, round(h * target / w))
+        rh = max(1, int(h * target / w + 0.5))
     else:
         rh = target
-        rw = max(1, round(w * target / h))
+        rw = max(1, int(w * target / h + 0.5))
     if (rw, rh) == (w, h):
         return img
     return img.resize((rw, rh), Image.BILINEAR)

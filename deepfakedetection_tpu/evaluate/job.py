@@ -95,7 +95,7 @@ def _maybe_download_weights(model_name: str, wpath: Path) -> None:
         )
     else:
         return
-    if answer != "y":
+    if answer not in ("y", "yes"):  # the reference accepts only "y"
         return
     import urllib.request
 
@@ -164,7 +164,9 @@ def _collect_probs(eval_step, params, batch_stats, loader, plan, mesh, compute_d
     speed = 0.0
     with progress("inference", total=len(loader.dataset)) as advance:
         for batch in loader:
-            images = shard_batch(mesh, jnp.asarray(batch.images))
+            # numpy goes straight to shard_batch: one correctly-placed transfer
+            # (jnp.asarray would commit to device 0 first, then reshard)
+            images = shard_batch(mesh, batch.images)
             x = normalize_batch(images, plan, out_dtype=compute_dtype)
             # keep results on device — dispatch runs ahead of host conversion
             device_probs.append(eval_step(params, batch_stats, x))

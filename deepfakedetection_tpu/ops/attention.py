@@ -48,11 +48,15 @@ def use_pallas_for(head_dim: int, train: bool = False) -> bool:
       DFD_ENABLE_PALLAS=1;
     - training always takes the XLA path (the kernel has no VJP).
     """
-    if train or os.environ.get("DFD_DISABLE_PALLAS"):
+    def flag(name: str) -> bool:
+        # "0"/"false"/"no" mean OFF — string truthiness would invert them
+        return os.environ.get(name, "").strip().lower() not in ("", "0", "false", "no")
+
+    if train or flag("DFD_DISABLE_PALLAS"):
         return False
     if not _on_tpu():
         return False
-    if os.environ.get("DFD_ENABLE_PALLAS"):
+    if flag("DFD_ENABLE_PALLAS"):
         return True
     return head_dim % 128 != 0
 

@@ -60,7 +60,14 @@ def _apply_device_preference(device: str | None) -> None:
 
 def _mesh_dims(config: dict[str, Any]) -> tuple[int, int]:
     mesh = config.get("mesh") or {}
-    return int(mesh.get("data", -1) or -1), int(mesh.get("model", 1) or 1)
+    data = int(mesh.get("data", -1) if mesh.get("data") is not None else -1)
+    model = int(mesh.get("model", 1) if mesh.get("model") is not None else 1)
+    if data == 0 or data < -1 or model < 1:
+        raise ValueError(
+            f"invalid mesh config data={data} model={model}: data must be -1 "
+            "(all remaining devices) or >= 1, model must be >= 1"
+        )
+    return data, model
 
 
 def _compute_dtype(config: dict[str, Any]):
@@ -160,7 +167,10 @@ def build_eval_job(
         or spec.default_image_size
     )
     weights = infer_cfg.get("weights")
-    # batch/workers fallback chains (reference: orchestrator.py:257-269)
+    # batch/workers fallback chains (reference: orchestrator.py:257-269).
+    # NB: like the reference, pydantic fills inference defaults (64/4) when
+    # an inference block EXISTS, so these chains only engage when the whole
+    # block is absent — identical (if subtle) semantics both sides.
     batch_size = infer_cfg.get("batch_size")
     if batch_size is None:
         batch_size = train_cfg.get("batch_size")
@@ -210,6 +220,9 @@ def orchestrate(config_path: str | Path, mode: str = "training") -> None:
     for model_name in selection:
         model_cfg = models.get(model_name)
         if model_cfg is None:
+            # belt-and-braces like the reference (orchestrator.py:678-680):
+            # config validation already rejects unknown selection names, so
+            # this only fires for configs built programmatically
             console.print(f"[yellow]⚠ unknown model '{model_name}' — skipping[/]")
             continue
         model_cfg = dict(model_cfg)

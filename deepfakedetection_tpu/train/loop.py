@@ -126,7 +126,9 @@ def evaluate(
     speed = 0.0
     with progress("eval", total=len(loader.dataset)) as advance:
         for batch in loader:
-            images = shard_batch(mesh, jnp.asarray(batch.images))
+            # numpy goes straight to shard_batch: one correctly-placed transfer
+            # (jnp.asarray would commit to device 0 first, then reshard)
+            images = shard_batch(mesh, batch.images)
             x = normalize_batch(images, plan, out_dtype=compute_dtype)
             device_probs.append(eval_step(params, batch_stats, x))
             masks.append(batch.mask)
@@ -232,10 +234,12 @@ def _run_training(job: TrainJob) -> TrainResult:
     steps_per_epoch = max(len(train_ds) // max(ft_batch, 1), 1)
 
     def batch_to_device(batch, aug_key, plan):
-        images = shard_batch(mesh, jnp.asarray(batch.images))
+        # numpy goes straight to shard_batch: one correctly-placed transfer
+        # (jnp.asarray would commit to device 0 first, then reshard)
+        images = shard_batch(mesh, batch.images)
         x = augment_batch(images, aug_key, plan, out_dtype=job.compute_dtype)
-        labels = shard_batch(mesh, jnp.asarray(batch.labels))
-        mask = shard_batch(mesh, jnp.asarray(batch.mask))
+        labels = shard_batch(mesh, batch.labels)
+        mask = shard_batch(mesh, batch.mask)
         return x, labels, mask
 
     def device_prefetch(loader, epoch_key, plan):
