@@ -57,6 +57,19 @@ _BN_MOMENTUM = 0.99
 _BN_EPSILON = 1e-3
 
 
+def _static_same_pads(size: int, kernel: int, stride: int):
+    """TF-SAME padding FROZEN from a trace at ``size`` (efficientnet_pytorch
+    Conv2dStaticSamePadding semantics: ``from_pretrained`` computes pads at
+    the variant's native resolution — 300 for B3 — and applies them verbatim
+    at any input size). At 224 this differs from dynamic SAME on the two
+    k5/stride-2 depthwise convs (trace sizes 75 and 19 are odd → (2,2) pads
+    where dynamic-at-224 would give (1,2)) — reproducing the frozen grid is
+    required for logit parity with reference checkpoints."""
+    out = -(-size // stride)
+    total = max((out - 1) * stride + kernel - size, 0)
+    return ((total // 2, total - total // 2),) * 2
+
+
 @dataclass(frozen=True)
 class BlockArgs:
     in_features: int
@@ -66,6 +79,9 @@ class BlockArgs:
     stride: int
     se_ratio: float
     drop_rate: float
+    # explicit depthwise padding from the static-SAME trace (see
+    # _static_same_pads); "SAME" would re-derive from the RUNTIME size
+    dw_padding: Any = "SAME"
 
 
 class MBConv(nn.Module):
@@ -87,7 +103,7 @@ class MBConv(nn.Module):
         x = ConvBN(
             mid, (a.kernel, a.kernel), strides=(a.stride, a.stride), groups=mid,
             act=nn.silu, bn_momentum=_BN_MOMENTUM, bn_epsilon=_BN_EPSILON,
-            dtype=self.dtype, name="depthwise",
+            padding=a.dw_padding, dtype=self.dtype, name="depthwise",
         )(x, train)
         # SE reduction is computed from the block INPUT channels (paper + the
         # efficientnet_pytorch behavior the reference fine-tunes).
@@ -112,6 +128,9 @@ class EfficientNet(nn.Module):
     dropout_rate: float = 0.3
     drop_connect_rate: float = 0.2
     se_ratio: float = 0.25
+    # the variant's native training resolution: static-SAME pads are frozen
+    # from this trace like efficientnet_pytorch's Conv2dStaticSamePadding
+    native_resolution: int = 300
     dtype: Any = jnp.bfloat16
 
     def round_filters(self, filters: int) -> int:
@@ -123,11 +142,14 @@ class EfficientNet(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = x.astype(self.dtype)
+        trace = self.native_resolution  # static-pad trace size (300 for B3)
         x = ConvBN(
             self.round_filters(32), (3, 3), strides=(2, 2), act=nn.silu,
-            bn_momentum=_BN_MOMENTUM, bn_epsilon=_BN_EPSILON, dtype=self.dtype,
+            bn_momentum=_BN_MOMENTUM, bn_epsilon=_BN_EPSILON,
+            padding=_static_same_pads(trace, 3, 2), dtype=self.dtype,
             name="stem",
         )(x, train)
+        trace = -(-trace // 2)
 
         total_blocks = sum(self.round_repeats(r) for _, _, r, _, _ in _BASE_BLOCKS)
         block_idx = 0
@@ -135,15 +157,19 @@ class EfficientNet(nn.Module):
         for stage_idx, (expand, channels, repeats, stride, kernel) in enumerate(_BASE_BLOCKS):
             out_features = self.round_filters(channels)
             for rep in range(self.round_repeats(repeats)):
+                block_stride = stride if rep == 0 else 1
                 args = BlockArgs(
                     in_features=in_features,
                     out_features=out_features,
                     expand_ratio=expand,
                     kernel=kernel,
-                    stride=stride if rep == 0 else 1,
+                    stride=block_stride,
                     se_ratio=self.se_ratio,
                     drop_rate=self.drop_connect_rate * block_idx / max(total_blocks, 1),
+                    dw_padding=_static_same_pads(trace, kernel, block_stride),
                 )
+                if block_stride > 1:
+                    trace = -(-trace // block_stride)
                 x = MBConv(args, dtype=self.dtype, name=f"stage{stage_idx}_block{rep}")(
                     x, train
                 )
@@ -170,11 +196,12 @@ def create_efficientnet(
 ) -> EfficientNet:
     if variant not in _VARIANTS:
         raise KeyError(f"unknown EfficientNet variant '{variant}'")
-    width, depth, _res, dropout = _VARIANTS[variant]
+    width, depth, res, dropout = _VARIANTS[variant]
     return EfficientNet(
         num_classes=num_classes,
         width_coefficient=width,
         depth_coefficient=depth,
         dropout_rate=dropout,
+        native_resolution=res,
         dtype=dtype,
     )

@@ -6,12 +6,17 @@ real-TPU behavior is exercised by bench.py / the driver instead.
 
 import os
 
+import re
+
 os.environ["JAX_PLATFORMS"] = "cpu"  # force: the image presets JAX_PLATFORMS=axon
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# the sharding tests REQUIRE exactly 8 virtual devices — replace any preset
+# count rather than keeping it (a preset =1 would silently degrade the mesh
+# tests to single-device)
+flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "", flags)
+os.environ["XLA_FLAGS"] = (
+    flags.strip() + " --xla_force_host_platform_device_count=8"
+).strip()
 
 import jax  # noqa: E402
 

@@ -39,20 +39,27 @@ def _make_divisible(value: float, divisor: int = 8) -> int:
 
 
 class SamePadConv2d(nn.Conv2d):
-    """TF-style SAME padding (efficientnet_pytorch Conv2dDynamicSamePadding):
-    asymmetric zero pad computed from the input size, then a pad-0 conv."""
+    """TF-style SAME padding FROZEN from the construction-time ``image_size``
+    trace (efficientnet_pytorch Conv2dStaticSamePadding — what
+    ``from_pretrained`` builds, with image_size = the variant's native 300
+    for B3). The frozen pads apply verbatim at ANY runtime size; at 224 the
+    two k5/stride-2 convs pad (2,2) where dynamic SAME would give (1,2)."""
 
-    @staticmethod
-    def _pad_amount(size: int, kernel: int, stride: int) -> int:
-        out = math.ceil(size / stride)
-        return max((out - 1) * stride + kernel - size, 0)
+    def __init__(self, *args, image_size: int, **kwargs):
+        super().__init__(*args, **kwargs)
+        kh, kw = self.weight.shape[-2:]
+
+        def amount(size, kernel, stride):
+            out = math.ceil(size / stride)
+            return max((out - 1) * stride + kernel - size, 0)
+
+        ph = amount(image_size, kh, self.stride[0])
+        pw = amount(image_size, kw, self.stride[1])
+        self._static_pad = [pw // 2, pw - pw // 2, ph // 2, ph - ph // 2]
 
     def forward(self, x: torch.Tensor) -> torch.Tensor:
-        ih, iw = x.shape[-2:]
-        ph = self._pad_amount(ih, self.weight.shape[2], self.stride[0])
-        pw = self._pad_amount(iw, self.weight.shape[3], self.stride[1])
-        if ph or pw:
-            x = F.pad(x, [pw // 2, pw - pw // 2, ph // 2, ph - ph // 2])
+        if any(self._static_pad):
+            x = F.pad(x, self._static_pad)
         return F.conv2d(
             x, self.weight, self.bias, self.stride, 0, self.dilation, self.groups
         )
@@ -62,21 +69,22 @@ class MBConvBlock(nn.Module):
     """efficientnet_pytorch MBConvBlock naming: _expand_conv/_bn0,
     _depthwise_conv/_bn1, _se_reduce/_se_expand, _project_conv/_bn2."""
 
-    def __init__(self, cin, cout, expand, kernel, stride, se_ratio=0.25):
+    def __init__(self, cin, cout, expand, kernel, stride, image_size, se_ratio=0.25):
         super().__init__()
         mid = cin * expand
         self.has_expand = expand != 1
         if self.has_expand:
-            self._expand_conv = SamePadConv2d(cin, mid, 1, bias=False)
+            self._expand_conv = SamePadConv2d(cin, mid, 1, bias=False, image_size=image_size)
             self._bn0 = nn.BatchNorm2d(mid, eps=1e-3)
         self._depthwise_conv = SamePadConv2d(
-            mid, mid, kernel, stride=stride, groups=mid, bias=False
+            mid, mid, kernel, stride=stride, groups=mid, bias=False,
+            image_size=image_size,
         )
         self._bn1 = nn.BatchNorm2d(mid, eps=1e-3)
         se_ch = max(1, int(cin * se_ratio))  # sized from the BLOCK input
-        self._se_reduce = SamePadConv2d(mid, se_ch, 1)
-        self._se_expand = SamePadConv2d(se_ch, mid, 1)
-        self._project_conv = SamePadConv2d(mid, cout, 1, bias=False)
+        self._se_reduce = SamePadConv2d(mid, se_ch, 1, image_size=1)
+        self._se_expand = SamePadConv2d(se_ch, mid, 1, image_size=1)
+        self._project_conv = SamePadConv2d(mid, cout, 1, bias=False, image_size=image_size)
         self._bn2 = nn.BatchNorm2d(cout, eps=1e-3)
         self.skip = stride == 1 and cin == cout
 
@@ -98,7 +106,10 @@ class EfficientNetB3(nn.Module):
     """B3 (width 1.2, depth 1.4) with a swapped ``_fc`` head
     (model_registry.py:32-36)."""
 
-    def __init__(self, num_classes: int = 2, width: float = 1.2, depth: float = 1.4):
+    def __init__(
+        self, num_classes: int = 2, width: float = 1.2, depth: float = 1.4,
+        image_size: int = 300,  # B3 native resolution: pads freeze from here
+    ):
         super().__init__()
 
         def rf(c):  # round_filters
@@ -108,20 +119,25 @@ class EfficientNetB3(nn.Module):
             return int(math.ceil(depth * r))
 
         stem = rf(32)
-        self._conv_stem = SamePadConv2d(3, stem, 3, stride=2, bias=False)
+        trace = image_size
+        self._conv_stem = SamePadConv2d(3, stem, 3, stride=2, bias=False, image_size=trace)
         self._bn0 = nn.BatchNorm2d(stem, eps=1e-3)
+        trace = math.ceil(trace / 2)
         blocks = []
         cin = stem
         for expand, channels, repeats, stride, kernel in _BASE_BLOCKS:
             cout = rf(channels)
             for rep in range(rr(repeats)):
+                s = stride if rep == 0 else 1
                 blocks.append(
-                    MBConvBlock(cin, cout, expand, kernel, stride if rep == 0 else 1)
+                    MBConvBlock(cin, cout, expand, kernel, s, image_size=trace)
                 )
+                if s > 1:
+                    trace = math.ceil(trace / s)
                 cin = cout
         self._blocks = nn.ModuleList(blocks)
         head = rf(1280)
-        self._conv_head = SamePadConv2d(cin, head, 1, bias=False)
+        self._conv_head = SamePadConv2d(cin, head, 1, bias=False, image_size=trace)
         self._bn1 = nn.BatchNorm2d(head, eps=1e-3)
         self._fc = nn.Linear(head, num_classes)
 

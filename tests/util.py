@@ -30,13 +30,13 @@ class TinyCNN(nn.Module):
 
 def tiny_spec(**recipe_kw) -> ModelSpec:
     recipe = TrainRecipe(
-        warmup_epochs=1,
-        head_param_substrings=("head",),
-        unfreeze="all",
-        early_stop_patience=recipe_kw.pop("early_stop_patience", None),
-        finetune_micro_batch=recipe_kw.pop("finetune_micro_batch", None),
-        accum_steps=recipe_kw.pop("accum_steps", 1),
-        **recipe_kw,
+        **{
+            "warmup_epochs": 1,
+            "head_param_substrings": ("head",),
+            "unfreeze": "all",
+            "early_stop_patience": None,
+            **recipe_kw,
+        }
     )
     return ModelSpec(
         name="tiny_cnn",
