@@ -27,17 +27,21 @@ def _ensure_rgb(img: Image.Image) -> Image.Image:
 
 
 def _resize_shorter(img: Image.Image, target: int) -> Image.Image:
-    """Shorter-side resize, PIL BILINEAR (matches torchvision Resize on PIL;
-    rounding is half-AWAY-from-zero via int(x+0.5) to match the native
-    decoder's lround, dfd_loader.cc:269-279 — Python round() is half-to-even
-    and would disagree on exact-.5 aspect ratios)."""
+    """Shorter-side resize, PIL BILINEAR (matches torchvision Resize on PIL).
+
+    Output size uses TRUNCATION — ``int(long * target / short)`` — exactly
+    torchvision's ``_compute_resized_output_size`` (torchvision 0.24,
+    functional.py), NOT round-half-up: e.g. 500x375 at target 299 gives the
+    long side int(500*299/375)=398, where half-up would give 399 and shift
+    the center-crop grid by 1px on most real images. The native decoder
+    (dfd_loader.cc shape_to_square) uses the same truncation."""
     w, h = img.size
     if w <= h:
         rw = target
-        rh = max(1, int(h * target / w + 0.5))
+        rh = max(1, int(h * target / w))
     else:
         rh = target
-        rw = max(1, int(w * target / h + 0.5))
+        rw = max(1, int(w * target / h))
     if (rw, rh) == (w, h):
         return img
     return img.resize((rw, rh), Image.BILINEAR)

@@ -181,17 +181,6 @@ class Attention4D(nn.Module):
             dtype=self.dtype, name="v_local",
         )(v, train)
 
-        def heads(t, d):
-            return t.reshape(B, N, self.num_heads, d).transpose(0, 2, 1, 3)
-
-        qh = heads(q, self.key_dim)
-        kh = heads(k, self.key_dim)
-        vh = heads(v, dh)
-
-        attn = jnp.einsum(
-            "bhnd,bhmd->bhnm", qh, kh, preferred_element_type=jnp.float32
-        ) * (self.key_dim ** -0.5)
-
         idx_table, n_offsets = _attention_bias_index((H, W))
         bias = self.param(
             "attention_biases",
@@ -199,10 +188,6 @@ class Attention4D(nn.Module):
             (self.num_heads, n_offsets),
             jnp.float32,
         )
-        attn = attn + bias[:, idx_table][None]
-
-        # talking heads: 1x1 convs (with bias, like timm's nn.Conv2d) across
-        # the head dimension
         th1 = self.param(
             "talking_head1", nn.initializers.normal(0.02),
             (self.num_heads, self.num_heads), jnp.float32,
@@ -210,8 +195,6 @@ class Attention4D(nn.Module):
         th1_b = self.param(
             "talking_head1_bias", nn.initializers.zeros, (self.num_heads,), jnp.float32
         )
-        attn = jnp.einsum("bhnm,hg->bgnm", attn, th1) + th1_b[None, :, None, None]
-        attn = nn.softmax(attn, axis=-1)
         th2 = self.param(
             "talking_head2", nn.initializers.normal(0.02),
             (self.num_heads, self.num_heads), jnp.float32,
@@ -219,12 +202,43 @@ class Attention4D(nn.Module):
         th2_b = self.param(
             "talking_head2_bias", nn.initializers.zeros, (self.num_heads,), jnp.float32
         )
-        attn = (
-            jnp.einsum("bhnm,hg->bgnm", attn, th2) + th2_b[None, :, None, None]
-        ).astype(self.dtype)
 
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, vh, preferred_element_type=jnp.float32)
-        out = out.transpose(0, 2, 1, 3).reshape(B, H, W, dh * self.num_heads)
+        from deepfakedetection_tpu.ops.attention import use_pallas_attn4d
+
+        if use_pallas_attn4d(train):
+            from deepfakedetection_tpu.ops.pallas.attn4d import attn4d_pallas
+
+            out = attn4d_pallas(
+                q.reshape(B, N, -1), k.reshape(B, N, -1), v.reshape(B, N, -1),
+                bias[:, idx_table], th1, th1_b, th2, th2_b,
+                num_heads=self.num_heads, scale=self.key_dim ** -0.5,
+            )
+            out = out.reshape(B, H, W, dh * self.num_heads)
+        else:
+            def heads(t, d):
+                return t.reshape(B, N, self.num_heads, d).transpose(0, 2, 1, 3)
+
+            qh = heads(q, self.key_dim)
+            kh = heads(k, self.key_dim)
+            vh = heads(v, dh)
+
+            attn = jnp.einsum(
+                "bhnd,bhmd->bhnm", qh, kh, preferred_element_type=jnp.float32
+            ) * (self.key_dim ** -0.5)
+            attn = attn + bias[:, idx_table][None]
+
+            # talking heads: 1x1 convs (with bias, like timm's nn.Conv2d)
+            # across the head dimension
+            attn = jnp.einsum("bhnm,hg->bgnm", attn, th1) + th1_b[None, :, None, None]
+            attn = nn.softmax(attn, axis=-1)
+            attn = (
+                jnp.einsum("bhnm,hg->bgnm", attn, th2) + th2_b[None, :, None, None]
+            ).astype(self.dtype)
+
+            out = jnp.einsum(
+                "bhnm,bhmd->bhnd", attn, vh, preferred_element_type=jnp.float32
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(B, H, W, dh * self.num_heads)
         # bf16 from here: the dh=1024-channel upsample+gelu segment is pure
         # HBM traffic and feeds a bf16 conv anyway (sub-ulp effect on logits)
         out = (out + v_local.astype(jnp.float32)).astype(self.dtype)

@@ -40,25 +40,41 @@ def use_pallas_default() -> bool:
 
 def use_pallas_for(head_dim: int, train: bool = False) -> bool:
     """Dispatch policy for the v2 head-masked kernel (measured on v5e,
-    FasterViT-2 end-to-end eval):
+    FasterViT-2 end-to-end):
 
     - lane-misaligned heads (head_dim % 128 != 0, e.g. the official d=48):
-      v2 wins big — 4,302 → 5,353 img/s — so it is ON by default;
+      v2 wins big — eval 4,302 → 5,353 img/s; with the Pallas backward the
+      train step takes it too (measurement in docs/BENCHMARKS.md) — ON by
+      default for BOTH modes;
     - 128-aligned heads: XLA wins (6,323 vs 5,988) — v2 stays off unless
-      DFD_ENABLE_PALLAS=1;
-    - training always takes the XLA path (the kernel has no VJP).
+      DFD_ENABLE_PALLAS=1.
     """
     def flag(name: str) -> bool:
         # "0"/"false"/"no" mean OFF — string truthiness would invert them
         return os.environ.get(name, "").strip().lower() not in ("", "0", "false", "no")
 
-    if train or flag("DFD_DISABLE_PALLAS"):
+    if flag("DFD_DISABLE_PALLAS"):
         return False
     if not _on_tpu():
         return False
     if flag("DFD_ENABLE_PALLAS"):
         return True
     return head_dim % 128 != 0
+
+
+def use_pallas_attn4d(train: bool = False) -> bool:
+    """Dispatch policy for the fused EfficientFormerV2 Attention4D kernel
+    (ops/pallas/attn4d.py). Inference-only (no VJP). Default follows the
+    v5e measurement in docs/BENCHMARKS.md; DFD_ENABLE_PALLAS_ATTN4D=1 /
+    DFD_DISABLE_PALLAS=1 override."""
+    def flag(name: str) -> bool:
+        return os.environ.get(name, "").strip().lower() not in ("", "0", "false", "no")
+
+    if train or flag("DFD_DISABLE_PALLAS"):
+        return False
+    if not _on_tpu():
+        return False
+    return flag("DFD_ENABLE_PALLAS_ATTN4D")
 
 
 def window_mhsa_xla(
@@ -126,9 +142,11 @@ def window_mhsa_qkv_pallas(
     """Fused attention from the NATURAL qkv layout [B, N, 3C] (the Dense
     output, features ordered [3, h, d]) — no per-head transposes on the host
     at all; the kernel works head-masked at full-K (window_attn.py v2).
-    Returns [B, N, C]."""
+    Differentiable: the kernel has a Pallas flash-style backward
+    (window_attn.py ``window_attention_v2``), so this path serves training
+    too. Returns [B, N, C]."""
     from deepfakedetection_tpu.ops.pallas.window_attn import (
-        fused_window_attention_v2,
+        window_attention_v2,
     )
 
     B, N, threeC = qkv.shape
@@ -142,9 +160,7 @@ def window_mhsa_qkv_pallas(
     if Np > N:  # mask padded KEY columns out of the softmax
         col_mask = (jnp.arange(Np) >= N)[None, None, :]
         bias_p = jnp.where(col_mask, _NEG_INF, bias_p)
-    out = fused_window_attention_v2(
-        qkv_p, bias_p, num_heads=num_heads, scale=scale, interpret=interpret
-    )
+    out = window_attention_v2(qkv_p, bias_p, num_heads, scale, interpret)
     return out[:, :N, :]
 
 

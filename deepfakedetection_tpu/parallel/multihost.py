@@ -45,10 +45,17 @@ def local_rows(arr):
 
     if getattr(arr, "is_fully_addressable", True):
         return np.asarray(arr)
-    shards = sorted(
-        arr.addressable_shards, key=lambda s: s.index[0].start or 0
+    # Deduplicate by global row offset: with a model axis in the mesh, a
+    # P("data")-sharded array is REPLICATED along "data"-free axes, so each
+    # row block appears once per local model-axis device; concatenating all
+    # addressable shards would duplicate rows and misalign with the loader's
+    # host-local labels/masks.
+    by_offset = {}
+    for s in arr.addressable_shards:
+        by_offset.setdefault(s.index[0].start or 0, s)
+    return np.concatenate(
+        [np.asarray(by_offset[k].data) for k in sorted(by_offset)]
     )
-    return np.concatenate([np.asarray(s.data) for s in shards])
 
 
 def allgather_examples(arr):

@@ -138,11 +138,11 @@ _EFFICIENTNET_RECIPE = TrainRecipe(
     unfreeze="all",
     early_stop_patience=4,
     color_jitter=(0.2, 0.2, 0.2, 0.05),
-    default_train_toggles={
-        "train_random_rotation": True,
-        "train_color_jitter": True,
-        "train_random_erasing": True,
-    },
+    # No toggle overrides: the reference's EfficientNet defaults are exactly
+    # the regime-gated base (rotation/jitter/erasing = not small_images,
+    # efficientnet.py:128-144) — unconditional True here would wrongly enable
+    # them for img_size<=64 where the reference never applies them.
+    default_train_toggles={},
 )
 
 _EFFICIENTFORMER_RECIPE = TrainRecipe(
@@ -154,9 +154,10 @@ _EFFICIENTFORMER_RECIPE = TrainRecipe(
     unfreeze=("stages_3", "blocks_3", "norm_out", "head"),
     early_stop_patience=None,
     color_jitter=(0.1, 0.1, 0.1, 0.05),
+    # rotation/erasing unconditionally off (efficientformer_v2.py:109-111);
+    # jitter inherits the base's regime gate (not small_images).
     default_train_toggles={
         "train_random_rotation": False,
-        "train_color_jitter": True,
         "train_random_erasing": False,
     },
 )
@@ -169,9 +170,10 @@ _FASTERVIT_RECIPE = TrainRecipe(
     unfreeze="all",
     early_stop_patience=4,
     color_jitter=(0.1, 0.1, 0.1, 0.05),
+    # rotation/erasing unconditionally off (fastervit.py:127,129); jitter
+    # inherits the base's regime gate (not small_images).
     default_train_toggles={
         "train_random_rotation": False,
-        "train_color_jitter": True,
         "train_random_erasing": False,
     },
 )

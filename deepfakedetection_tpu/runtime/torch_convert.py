@@ -280,6 +280,35 @@ def convert_torch_checkpoint(
             continue
         out[full] = arr.astype(np.asarray(ref).dtype)
         matched += 1
+    # Fold stray conv biases into the following BatchNorm's running mean:
+    # some timm builds give ConvNorm's conv a bias (the EFv2 ConvNorm
+    # conv-bias question, PARITY.md). Our ConvBN has no conv_bias param for
+    # these layers, but conv(x)+b → BN(mean μ) ≡ conv(x) → BN(mean μ-b), so
+    # the checkpoint converts exactly rather than silently dropping the bias.
+    still_unmatched: list[str] = []
+    for key in unmatched:
+        folded = False
+        if key.endswith(".bias"):
+            prefix = key[: -len(".bias")]  # e.g. "...attn.k.conv"
+            for bn_name in (".bn", ""):  # "X.conv.bias"+"X.bn", "X.bias"+"X.bn"
+                mean_key = (
+                    prefix[: -len(".conv")] if prefix.endswith(".conv") else prefix
+                ) + f"{bn_name}.running_mean"
+                entry = name_map.get(mean_key)
+                if entry is None:
+                    continue
+                full = ("batch_stats",) + entry[0]
+                bias = np.asarray(state[key])
+                if full in out and np.shape(out[full]) == bias.shape:
+                    out[full] = (np.asarray(out[full]) - bias).astype(
+                        np.asarray(out[full]).dtype
+                    )
+                    matched += 1
+                    folded = True
+                    break
+        if not folded:
+            still_unmatched.append(key)
+    unmatched = still_unmatched
     if matched == 0 and state:
         raise ValueError(
             f"torch checkpoint conversion matched 0 of {len(state)} tensors "

@@ -270,15 +270,17 @@ void resample(const ImageU8& in, int out_w, int out_h, ImageU8* out) {
 // composing two center crops would shift 1px on odd remainders)
 void shape_to_square(const ImageU8& in, int resize_target, int crop_target,
                      unsigned char* out) {
+  // Output size TRUNCATES (int cast), matching torchvision 0.24's
+  // _compute_resized_output_size: new_long = int(target * long / short).
   int rw, rh;
   if (in.w <= in.h) {
     rw = resize_target;
-    rh = std::max(1, static_cast<int>(std::lround(
-                       static_cast<double>(in.h) * resize_target / in.w)));
+    rh = std::max(1, static_cast<int>(
+                       static_cast<double>(in.h) * resize_target / in.w));
   } else {
     rh = resize_target;
-    rw = std::max(1, static_cast<int>(std::lround(
-                       static_cast<double>(in.w) * resize_target / in.h)));
+    rw = std::max(1, static_cast<int>(
+                       static_cast<double>(in.w) * resize_target / in.h));
   }
   ImageU8 resized;
   resample(in, rw, rh, &resized);

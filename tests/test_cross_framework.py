@@ -29,7 +29,13 @@ from deepfakedetection_tpu.runtime.checkpoint import load_weights  # noqa: E402
 from deepfakedetection_tpu.train.steps import init_model_variables  # noqa: E402
 
 
-def _cross_check(flax_model, family, torch_model, size, tmp_path, monkeypatch, seed=0):
+def _first(out):
+    """Module output → single tensor (HAT-style blocks return (x, ct))."""
+    return out[0] if isinstance(out, (tuple, list)) else out
+
+
+def _cross_check(flax_model, family, torch_model, size, tmp_path, monkeypatch,
+                 seed=0, probes=()):
     # torch nn.GELU is exact erf; switch the flax side to match bitwise
     import deepfakedetection_tpu.models.common as common
 
@@ -65,17 +71,67 @@ def _cross_check(flax_model, family, torch_model, size, tmp_path, monkeypatch, s
 
     rng = np.random.default_rng(seed)
     x = rng.normal(scale=1.0, size=(2, size, size, 3)).astype(np.float32)
-    flax_logits = np.asarray(
-        jax.jit(
-            lambda v, xx: flax_model.apply(v, xx, train=False)
-        )({"params": restored["params"], "batch_stats": restored["batch_stats"]},
-          jnp.asarray(x))
-    )
-    with torch.inference_mode():
-        t_logits = (
-            torch_model(torch.from_numpy(x).permute(0, 3, 1, 2).contiguous())
-            .numpy()
+    variables = {"params": restored["params"], "batch_stats": restored["batch_stats"]}
+
+    # per-block probes: capture matching flax module outputs and torch
+    # forward-hook outputs so any real-weights drift localizes to a block
+    # instead of a 25M-param haystack (VERDICT r2 #1b)
+    flax_names = {p[1] for p in probes}
+    if probes:
+        flax_logits_dev, inter = flax_model.apply(
+            variables, jnp.asarray(x), train=False,
+            capture_intermediates=lambda mdl, method: (
+                method == "__call__" and mdl.name in flax_names
+            ),
         )
+        flax_logits = np.asarray(flax_logits_dev)
+        inter = inter["intermediates"]
+    else:
+        flax_logits = np.asarray(
+            jax.jit(lambda v, xx: flax_model.apply(v, xx, train=False))(
+                variables, jnp.asarray(x)
+            )
+        )
+        inter = {}
+
+    torch_acts: dict[str, np.ndarray] = {}
+    hooks = []
+    if probes:
+        modules = dict(torch_model.named_modules())
+        for label, _fname, tname, _kind in probes:
+            assert tname in modules, f"probe target {tname} not in torch model"
+
+            def make_hook(lbl):
+                def hook(_mod, _inp, out):
+                    torch_acts[lbl] = _first(out).detach().numpy()
+                return hook
+
+            hooks.append(modules[tname].register_forward_hook(make_hook(label)))
+    try:
+        with torch.inference_mode():
+            t_logits = (
+                torch_model(torch.from_numpy(x).permute(0, 3, 1, 2).contiguous())
+                .numpy()
+            )
+    finally:
+        for h in hooks:
+            h.remove()
+
+    for label, fname, _tname, kind in probes:
+        f_out = np.asarray(_first(inter[fname]["__call__"][0]))
+        t_out = torch_acts[label]
+        if kind == "nchw":  # torch image layout → flax NHWC
+            t_out = np.transpose(t_out, (0, 2, 3, 1))
+        assert f_out.shape == t_out.shape, (
+            f"{label}: shape {f_out.shape} vs {t_out.shape}"
+        )
+        scale = max(float(np.abs(t_out).max()), 1e-3)
+        delta = float(np.abs(f_out - t_out).max())
+        assert delta / scale < 5e-3, (
+            f"activation mismatch at {label}: max|Δ|={delta:.5f} "
+            f"scale={scale:.3f}"
+        )
+
     scale = max(float(np.abs(t_logits).max()), 1e-3)
     delta = float(np.abs(flax_logits - t_logits).max())
     assert delta / scale < 5e-3, (
@@ -94,9 +150,28 @@ def test_efficientformer_v2_matches_torch_reimplementation(tmp_path, monkeypatch
     )
 
     flax_model = create_efficientformer_v2("s1", num_classes=2, dtype=jnp.float32)
+    torch_model = EfficientFormerV2S1(num_classes=2)
+    # probe the last block of every stage + the attention downsamples so a
+    # real-weights drift localizes to one block (VERDICT r2 #1b)
+    import re as _re
+
+    last_block: dict[int, int] = {}
+    for name, _ in torch_model.named_modules():
+        m = _re.fullmatch(r"stages\.(\d+)\.blocks\.(\d+)", name)
+        if m:
+            s, b = int(m.group(1)), int(m.group(2))
+            last_block[s] = max(last_block.get(s, -1), b)
+    probes = [
+        (f"stage{s}", f"stages_{s}_block{b}_ffn_res", f"stages.{s}.blocks.{b}",
+         "nchw")
+        for s, b in sorted(last_block.items())
+    ] + [
+        (f"ds{s}", f"downsample_{s}", f"stages.{s}.downsample", "nchw")
+        for s in (1, 2, 3)
+    ]
     _cross_check(
-        flax_model, "efficientformerv2", EfficientFormerV2S1(num_classes=2),
-        224, tmp_path, monkeypatch,
+        flax_model, "efficientformerv2", torch_model,
+        224, tmp_path, monkeypatch, probes=probes,
     )
 
 
@@ -109,9 +184,19 @@ def test_fastervit_official_matches_torch_reimplementation(tmp_path, monkeypatch
     flax_model = create_faster_vit(
         "2", num_classes=2, dtype=jnp.float32, head_config="official"
     )
+    # conv-level block + each downsample boundary + final norm: the HAT
+    # stages run in different windowed layouts internally, but their full
+    # outputs are pinned by the following downsample / norm probes
+    probes = [
+        ("level0.b2", "stage0_block2", "levels.0.blocks.2", "nchw"),
+        ("ds1", "downsample_1", "levels.0.downsample", "nchw"),
+        ("ds2", "downsample_2", "levels.1.downsample", "nchw"),
+        ("ds3", "downsample_3", "levels.2.downsample", "nchw"),
+        ("final_norm", "norm_out", "norm", "nchw"),
+    ]
     _cross_check(
         flax_model, "fastervit", FasterViT2(num_classes=2), 224, tmp_path,
-        monkeypatch,
+        monkeypatch, probes=probes,
     )
 
 
@@ -122,7 +207,15 @@ def test_efficientnet_b3_matches_torch_reimplementation(tmp_path, monkeypatch):
     from deepfakedetection_tpu.models.efficientnet import create_efficientnet
 
     flax_model = create_efficientnet("b3", num_classes=2, dtype=jnp.float32)
+    # last MBConv of every stage (B3 repeats 2,3,3,5,5,6,2 → flat indices)
+    last_flat = [1, 4, 7, 12, 17, 23, 25]
+    last_rep = [1, 2, 2, 4, 4, 5, 1]
+    probes = [
+        (f"stage{s}", f"stage{s}_block{last_rep[s]}", f"_blocks.{last_flat[s]}",
+         "nchw")
+        for s in range(7)
+    ]
     _cross_check(
         flax_model, "efficientnet", EfficientNetB3(num_classes=2), 224,
-        tmp_path, monkeypatch,
+        tmp_path, monkeypatch, probes=probes,
     )

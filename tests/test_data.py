@@ -53,6 +53,42 @@ def test_plan_regimes():
     assert ev.resize and ev.center_crop and ev.normalize
 
 
+def test_resize_output_size_truncates_like_torchvision():
+    """torchvision 0.24 _compute_resized_output_size truncates the long side:
+    int(long * target / short). 500x375 @ 299 → 398 (half-up would give 399),
+    shifting the center-crop grid — the eval path must match exactly."""
+    from PIL import Image
+
+    from deepfakedetection_tpu.data.decode import _resize_shorter
+
+    img = Image.new("RGB", (500, 375))
+    assert _resize_shorter(img, 299).size == (398, 299)  # 500*299/375 = 398.67
+    img = Image.new("RGB", (375, 500))
+    assert _resize_shorter(img, 299).size == (299, 398)
+    img = Image.new("RGB", (450, 300))  # 3:2 → 448.5 truncates to 448
+    assert _resize_shorter(img, 299).size == (448, 299)
+
+
+def test_small_regime_disables_recipe_augment_defaults():
+    """For img_size<=64 the reference trainers default rotation/jitter/erasing
+    OFF (efficientnet.py:135-137 gates on not small_images); recipe defaults
+    must not resurrect them in the small regime."""
+    from deepfakedetection_tpu.registry import get_model_spec
+
+    recipe = get_model_spec("efficientnet_b3").recipe
+    small = build_train_plan(64, recipe_defaults=recipe.default_train_toggles)
+    assert not small.rotation and not small.color_jitter and not small.random_erasing
+    large = build_train_plan(224, recipe_defaults=recipe.default_train_toggles)
+    assert large.rotation and large.color_jitter and large.random_erasing
+    # explicit user toggles still win in either regime
+    forced = build_train_plan(
+        64,
+        {"train_random_rotation": True},
+        recipe_defaults=recipe.default_train_toggles,
+    )
+    assert forced.rotation
+
+
 def test_decode_shapes(tiny_image_tree):
     ds = scan_image_folder(tiny_image_tree / "val")
     path = ds.samples[0][0]

@@ -161,3 +161,30 @@ def test_local_rows_fetches_sharded_rows_in_order():
     arr = jnp.arange(32.0).reshape(16, 2)
     sharded = jax.device_put(arr, NamedSharding(mesh, P("data")))
     np.testing.assert_array_equal(local_rows(sharded), np.asarray(arr))
+
+
+def test_local_rows_dedupes_model_axis_replicas():
+    """With a model axis in the mesh, a P('data')-sharded array is replicated
+    along 'model': each row block appears once per local model-axis device.
+    local_rows must fetch each global row block exactly once (keyed by row
+    offset), not concatenate every addressable shard."""
+    import numpy as np
+
+    from deepfakedetection_tpu.parallel.multihost import local_rows
+
+    full = np.arange(16.0).reshape(8, 2)
+
+    class FakeShard:
+        def __init__(self, start, stop):
+            self.index = (slice(start, stop), slice(None))
+            self.data = full[start:stop]
+
+    class FakeArray:
+        is_fully_addressable = False
+        # data=4 x model=2: 4 row blocks, each replicated twice, out of order
+        addressable_shards = [
+            FakeShard(4, 6), FakeShard(0, 2), FakeShard(4, 6), FakeShard(2, 4),
+            FakeShard(0, 2), FakeShard(6, 8), FakeShard(2, 4), FakeShard(6, 8),
+        ]
+
+    np.testing.assert_array_equal(local_rows(FakeArray()), full)

@@ -50,6 +50,48 @@ def test_pallas_v2_head_masked_matches_xla():
         np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
 
 
+def test_pallas_v2_grad_matches_xla():
+    """jax.grad through the v2 kernel's Pallas backward must match the XLA
+    path's autodiff gradients — for qkv AND the bias (VERDICT r2 #3)."""
+    for B, N, h, d, seed in ((4, 53, 8, 48, 0), (2, 49, 16, 48, 1)):
+        q, k, v, bias, scale = _mk(B=B, N=N, h=h, d=d, seed=seed)
+        C = h * d
+        qkv = jnp.concatenate([t.reshape(B, N, C) for t in (q, k, v)], axis=-1)
+        rng = np.random.default_rng(seed + 10)
+        # a non-trivial downstream cotangent: weighted sum of outputs
+        w = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
+
+        def loss_pallas(qkv_in, bias_in):
+            out = window_mhsa_qkv_pallas(
+                qkv_in, bias_in, num_heads=h, scale=scale, interpret=True
+            )
+            return jnp.sum(out.astype(jnp.float32) * w)
+
+        def loss_xla(qkv_in, bias_in):
+            q5 = qkv_in[:, :, 0:C].reshape(B, N, h, d)
+            k5 = qkv_in[:, :, C : 2 * C].reshape(B, N, h, d)
+            v5 = qkv_in[:, :, 2 * C : 3 * C].reshape(B, N, h, d)
+            out = window_mhsa_xla(q5, k5, v5, bias_in, scale=scale)
+            return jnp.sum(out.astype(jnp.float32) * w)
+
+        gp_qkv, gp_bias = jax.grad(loss_pallas, argnums=(0, 1))(qkv, bias)
+        gx_qkv, gx_bias = jax.grad(loss_xla, argnums=(0, 1))(qkv, bias)
+        sq = max(float(jnp.abs(gx_qkv).max()), 1e-3)
+        sb = max(float(jnp.abs(gx_bias).max()), 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(gp_qkv, np.float32) / sq,
+            np.asarray(gx_qkv, np.float32) / sq,
+            atol=4e-2,  # bf16 matmul accumulations on both sides
+            err_msg=f"dqkv mismatch at B={B} N={N} h={h}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(gp_bias, np.float32) / sb,
+            np.asarray(gx_bias, np.float32) / sb,
+            atol=4e-2,
+            err_msg=f"dbias mismatch at B={B} N={N} h={h}",
+        )
+
+
 def test_pallas_matches_xla_aligned_shapes():
     q, k, v, bias, scale = _mk(B=8, N=64, h=4, d=64, seed=1)
     ref = np.asarray(window_mhsa_xla(q, k, v, bias, scale=scale), np.float32)
@@ -69,6 +111,54 @@ def test_padded_keys_are_masked():
         window_mhsa_pallas(q, k, v, bias, scale=scale, interpret=True), np.float32
     )
     np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
+
+
+def test_pallas_attn4d_matches_xla_reference():
+    """Fused EFv2 Attention4D (q·kᵀ → bias → th1 → softmax → th2 → ·v) must
+    match the plain einsum math at the model's shapes (N=49, h=8, d=32,
+    dv=128) and at a non-tile-aligned N."""
+    from deepfakedetection_tpu.ops.pallas.attn4d import attn4d_pallas
+
+    for B, N, h, d, dv, seed in ((4, 49, 8, 32, 128, 0), (2, 25, 4, 16, 64, 1)):
+        rng = np.random.default_rng(seed)
+        q = jnp.asarray(rng.normal(size=(B, N, h * d)), jnp.bfloat16)
+        k = jnp.asarray(rng.normal(size=(B, N, h * d)), jnp.bfloat16)
+        v = jnp.asarray(rng.normal(size=(B, N, h * dv)), jnp.bfloat16)
+        bias = jnp.asarray(rng.normal(size=(h, N, N)) * 0.1, jnp.float32)
+        th1 = jnp.asarray(rng.normal(size=(h, h)) * 0.3, jnp.float32)
+        th1_b = jnp.asarray(rng.normal(size=(h,)) * 0.1, jnp.float32)
+        th2 = jnp.asarray(rng.normal(size=(h, h)) * 0.3, jnp.float32)
+        th2_b = jnp.asarray(rng.normal(size=(h,)) * 0.1, jnp.float32)
+        scale = d ** -0.5
+
+        # XLA reference — the exact einsum chain from the model
+        qh = q.reshape(B, N, h, d).transpose(0, 2, 1, 3)
+        kh = k.reshape(B, N, h, d).transpose(0, 2, 1, 3)
+        vh = v.reshape(B, N, h, dv).transpose(0, 2, 1, 3)
+        attn = jnp.einsum(
+            "bhnd,bhmd->bhnm", qh, kh, preferred_element_type=jnp.float32
+        ) * scale + bias[None]
+        attn = jnp.einsum("bhnm,hg->bgnm", attn, th1) + th1_b[None, :, None, None]
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = (
+            jnp.einsum("bhnm,hg->bgnm", attn, th2) + th2_b[None, :, None, None]
+        ).astype(jnp.bfloat16)
+        ref = jnp.einsum(
+            "bhnm,bhmd->bhnd", attn, vh, preferred_element_type=jnp.float32
+        )
+        ref = np.asarray(
+            ref.transpose(0, 2, 1, 3).reshape(B, N, h * dv), np.float32
+        )
+
+        out = np.asarray(
+            attn4d_pallas(
+                q, k, v, bias, th1, th1_b, th2, th2_b,
+                num_heads=h, scale=scale, interpret=True,
+            ),
+            np.float32,
+        )
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(out, ref, atol=3e-2, rtol=3e-2)
 
 
 def test_fastervit_uses_xla_path_on_cpu():

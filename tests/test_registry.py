@@ -38,5 +38,9 @@ def test_recipe_deltas_match_reference():
     assert ef.unfreeze != "all" and enet.unfreeze == "all"
     assert enet.color_jitter == (0.2, 0.2, 0.2, 0.05)
     assert fv.color_jitter == (0.1, 0.1, 0.1, 0.05)
-    assert enet.default_train_toggles["train_random_erasing"] is True
+    # EfficientNet inherits the regime-gated base defaults (rotation/jitter/
+    # erasing = not small_images, efficientnet.py:128-144) — no overrides;
+    # FasterViT forces rotation/erasing off at every size (fastervit.py:127,129)
+    assert "train_random_erasing" not in enet.default_train_toggles
     assert fv.default_train_toggles["train_random_erasing"] is False
+    assert "train_color_jitter" not in fv.default_train_toggles

@@ -215,6 +215,43 @@ def test_efficientformer_v2_state_dict_converts_completely(tmp_path):
 
 
 @pytest.mark.slow
+def test_efficientformer_v2_conv_bias_folds_into_bn_mean(tmp_path):
+    """Some timm builds give ConvNorm's conv a bias (PARITY.md's EFv2
+    conv-bias question). conv(x)+b → BN(μ) ≡ conv(x) → BN(μ-b), so the
+    converter must fold the bias into the running mean instead of leaving
+    it unmatched (which would silently drop it)."""
+    from deepfakedetection_tpu.models.efficientformer_v2 import (
+        create_efficientformer_v2,
+    )
+    from deepfakedetection_tpu.runtime.torch_convert import (
+        convert_torch_checkpoint,
+    )
+
+    model = create_efficientformer_v2("s1", num_classes=2, dtype=jnp.float32)
+    params, batch_stats = init_model_variables(
+        model, jax.random.key(0), (1, 224, 224, 3)
+    )
+    target = {
+        "params": jax.device_get(params),
+        "batch_stats": jax.device_get(batch_stats),
+    }
+    sd, _ = _synthetic_state_dict_from_map(target, "efficientformerv2")
+    bias = np.linspace(-0.5, 0.5, sd["stem.conv1.bn.running_mean"].shape[0])
+    sd["stem.conv1.conv.bias"] = torch.tensor(bias.astype(np.float32))
+    buf = io.BytesIO()
+    torch.save(sd, buf)
+    restored, unmatched = convert_torch_checkpoint(
+        buf.getvalue(), target, model_family="efficientformerv2"
+    )
+    assert unmatched == [], f"unmatched: {unmatched[:10]}"
+    np.testing.assert_allclose(
+        np.asarray(restored["batch_stats"]["stem_0"]["mean"]),
+        sd["stem.conv1.bn.running_mean"].numpy() - bias.astype(np.float32),
+        rtol=1e-6,
+    )
+
+
+@pytest.mark.slow
 def test_fastervit_official_state_dict_converts_completely(tmp_path):
     from deepfakedetection_tpu.models.fastervit import create_faster_vit
 
