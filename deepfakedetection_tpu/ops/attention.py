@@ -43,9 +43,9 @@ def use_pallas_for(head_dim: int, train: bool = False) -> bool:
     FasterViT-2 end-to-end):
 
     - lane-misaligned heads (head_dim % 128 != 0, e.g. the official d=48):
-      v2 wins big — eval 4,302 → 5,353 img/s; with the Pallas backward the
-      train step takes it too (measurement in docs/BENCHMARKS.md) — ON by
-      default for BOTH modes;
+      v2 wins big — eval 4,302 → 5,353 img/s; train 1,306 → 1,606 img/s
+      with the masked Pallas backward (window_attn.py _bwd_impl has the
+      full A/B series) — ON by default for BOTH modes;
     - 128-aligned heads: XLA wins (6,323 vs 5,988) — v2 stays off unless
       DFD_ENABLE_PALLAS=1.
     """

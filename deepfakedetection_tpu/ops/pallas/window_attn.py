@@ -138,7 +138,7 @@ def _attn_bwd_kernel_v2(
     dq = jnp.zeros((G, Np, C), jnp.bfloat16)
     dk = jnp.zeros((G, Np, C), jnp.bfloat16)
     dv = jnp.zeros((G, Np, C), jnp.bfloat16)
-    dbias = jnp.zeros((num_heads, Np, Np), jnp.float32)
+    dbias_planes = []  # per-head [Np, Np]; stacked at the end (no scatter)
     for h in range(num_heads):
         mask = head_of_lane == h
         qh = jnp.where(mask, q, jnp.zeros_like(q))
@@ -167,7 +167,7 @@ def _attn_bwd_kernel_v2(
             preferred_element_type=jnp.float32,
         )  # [G, Np, Np]
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # f32
-        dbias = dbias.at[h].set(jnp.sum(ds, axis=0))
+        dbias_planes.append(jnp.sum(ds, axis=0))
         ds16 = ds.astype(jnp.bfloat16)
         # dQ_h = scale·(dS·k) restricted to head-h lanes
         dqh = jax.lax.dot_general(
@@ -184,6 +184,7 @@ def _attn_bwd_kernel_v2(
         )
         dk = jnp.where(mask, (dkh * scale).astype(jnp.bfloat16), dk)
     dqkv_ref[:] = jnp.concatenate([dq, dk, dv], axis=2)
+    dbias = jnp.stack(dbias_planes, axis=0)
     # bias is broadcast over the grid: accumulate into one revisited block
     # (TPU grids execute sequentially, so read-modify-write is safe)
     @pl.when(i == 0)
@@ -205,18 +206,25 @@ def fused_window_attention_v2_bwd(
     *,
     num_heads: int,
     scale: float,
-    block_windows: int = 4,
+    block_windows: int = 0,
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Backward pallas_call: (qkv [B,Np,3C] bf16, bias [h,Np,Np] f32,
-    dout [B,Np,C]) → (dqkv [B,Np,3C] bf16, dbias [h,Np,Np] f32)."""
+    dout [B,Np,C]) → (dqkv [B,Np,3C] bf16, dbias [h,Np,Np] f32).
+
+    ``block_windows=0`` picks the largest power-of-2 block that fits the
+    ~16MB VMEM budget (measured ~``Np·3C·14`` resident bytes per window with
+    Mosaic's double buffering: stage-2 shapes → G=8, stage-3 → G=4;
+    G=8 at C=768 compiles to a 19.3MB stack and is rejected)."""
     B, Np, threeC = qkv.shape
     C = threeC // 3
     h = bias.shape[0]
-    G = block_windows
-    while B % G != 0:
-        G //= 2
-    G = max(G, 1)
+    if block_windows <= 0:
+        per_window = Np * threeC * 14
+        block_windows = max(1, (12 * 1024 * 1024) // per_window)
+    G = 1
+    while G * 2 <= block_windows and B % (G * 2) == 0:
+        G *= 2
     grid = (B // G,)
     dqkv, dbias = pl.pallas_call(
         functools.partial(
@@ -262,11 +270,193 @@ def _window_attention_v2_fwd(qkv, bias, num_heads, scale, interpret):
     return out, (qkv, bias)
 
 
+def _attn_bwd_kernel_v3(
+    q_ref, k_ref, v_ref, do_ref, bias_ref, dq_ref, dk_ref, dv_ref, dbias_ref,
+    *, scale: float,
+):
+    """Per-head-layout backward: blocks [G, h, Np, Dp] (Dp = d padded to 64).
+
+    The masked full-C backward (v2 above) recomputes every matmul at K=C,
+    wasting h× the FLOPs (at stage-3's h=16 that is 94% of the MXU work);
+    here the host pre-splits heads so all five matmuls contract over Dp=64 —
+    12× fewer FLOPs — at the cost of two XLA transposes per tensor outside.
+    """
+    i = pl.program_id(0)
+    G, h, Np, Dp = q_ref.shape
+    GH = G * h
+    q = q_ref[:].reshape(GH, Np, Dp)
+    k = k_ref[:].reshape(GH, Np, Dp)
+    v = v_ref[:].reshape(GH, Np, Dp)
+    do = do_ref[:].reshape(GH, Np, Dp)
+    batched = lambda a, b, dims: jax.lax.dot_general(  # noqa: E731
+        a, b, dimension_numbers=(dims, ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    scores = batched(q, k, ((2,), (2,))) * scale  # [GH, Np, Np]
+    scores = (scores.reshape(G, h, Np, Np) + bias_ref[:][None]).reshape(GH, Np, Np)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    p16 = p.astype(jnp.bfloat16)
+    dv_ref[:] = batched(p16, do, ((1,), (1,))).astype(jnp.bfloat16).reshape(
+        G, h, Np, Dp
+    )
+    dp = batched(do, v, ((2,), (2,)))  # [GH, Np, Np]
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dbias = jnp.sum(ds.reshape(G, h, Np, Np), axis=0)
+    ds16 = ds.astype(jnp.bfloat16)
+    dq_ref[:] = (batched(ds16, k, ((2,), (1,))) * scale).astype(
+        jnp.bfloat16
+    ).reshape(G, h, Np, Dp)
+    dk_ref[:] = (batched(ds16, q, ((1,), (1,))) * scale).astype(
+        jnp.bfloat16
+    ).reshape(G, h, Np, Dp)
+
+    @pl.when(i == 0)
+    def _():
+        dbias_ref[:] = dbias
+
+    @pl.when(i > 0)
+    def _():
+        dbias_ref[:] = dbias_ref[:] + dbias
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "scale", "block_windows", "interpret")
+)
+def _headed_window_attention_bwd(
+    qkv, bias, dout, *, num_heads, scale, block_windows=0, interpret=False
+):
+    """Per-head-layout backward wrapper: XLA transposes around the v3 kernel.
+
+    Returns (dqkv [B,Np,3C] bf16, dbias [h,Np,Np] f32)."""
+    B, Np, threeC = qkv.shape
+    C = threeC // 3
+    h = num_heads
+    d = C // h
+    Dp = ((d + 63) // 64) * 64
+
+    def split(t):  # [B,Np,C] -> [B,h,Np,Dp]
+        t = t.reshape(B, Np, h, d).transpose(0, 2, 1, 3)
+        return jnp.pad(t, ((0, 0), (0, 0), (0, 0), (0, Dp - d))).astype(
+            jnp.bfloat16
+        )
+
+    q = split(qkv[:, :, 0:C])
+    k = split(qkv[:, :, C : 2 * C])
+    v = split(qkv[:, :, 2 * C : 3 * C])
+    do = split(dout.astype(jnp.bfloat16))
+    if block_windows <= 0:
+        per_window = h * Np * Dp * 30  # ~7 resident [h,Np,Dp]-sized planes
+        block_windows = max(1, (12 * 1024 * 1024) // per_window)
+    G = 1
+    while G * 2 <= block_windows and B % (G * 2) == 0:
+        G *= 2
+    grid = (B // G,)
+    blk = pl.BlockSpec((G, h, Np, Dp), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    dq, dk, dv, dbias = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel_v3, scale=scale),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, h, Np, Dp), jnp.bfloat16),
+            jax.ShapeDtypeStruct((B, h, Np, Dp), jnp.bfloat16),
+            jax.ShapeDtypeStruct((B, h, Np, Dp), jnp.bfloat16),
+            jax.ShapeDtypeStruct((h, Np, Np), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            blk, blk, blk, blk,
+            pl.BlockSpec((h, Np, Np), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            blk, blk, blk,
+            pl.BlockSpec((h, Np, Np), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        # stage-3 shapes at G=4 need 16.01M scoped — 8K past Mosaic's 16M
+        # default; v5e has headroom, so raise the cap instead of halving G
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(q, k, v, do, bias)
+
+    def merge(t):  # [B,h,Np,Dp] -> [B,Np,C]
+        return t[:, :, :, :d].transpose(0, 2, 1, 3).reshape(B, Np, C)
+
+    dqkv = jnp.concatenate([merge(dq), merge(dk), merge(dv)], axis=-1)
+    return dqkv, dbias
+
+
+def _xla_window_attention_bwd(qkv, bias, g, *, num_heads, scale):
+    """XLA-einsum backward (recompute probs), per-head layout.
+
+    Kept alongside the Pallas backward so the dispatch can pick whichever
+    measures faster end-to-end (DFD_WINATTN_BWD=xla|pallas; measurements in
+    docs/BENCHMARKS.md)."""
+    B, Np, threeC = qkv.shape
+    C = threeC // 3
+    d = C // num_heads
+
+    def split(t):
+        return t.reshape(B, Np, num_heads, d).transpose(0, 2, 1, 3)
+
+    q = split(qkv[:, :, 0:C])
+    k = split(qkv[:, :, C : 2 * C])
+    v = split(qkv[:, :, 2 * C : 3 * C])
+    do = split(g.astype(qkv.dtype))
+    s = jnp.einsum(
+        "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
+    ) * scale + bias[None]
+    p = jax.nn.softmax(s, axis=-1)
+    p16 = p.astype(qkv.dtype)
+    dv = jnp.einsum("bhnm,bhnd->bhmd", p16, do, preferred_element_type=jnp.float32)
+    dp = jnp.einsum("bhnd,bhmd->bhnm", do, v, preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dbias = jnp.sum(ds, axis=0)
+    ds16 = ds.astype(qkv.dtype)
+    dq = jnp.einsum("bhnm,bhmd->bhnd", ds16, k, preferred_element_type=jnp.float32) * scale
+    dk = jnp.einsum("bhnm,bhnd->bhmd", ds16, q, preferred_element_type=jnp.float32) * scale
+
+    def merge(t):
+        return t.astype(qkv.dtype).transpose(0, 2, 1, 3).reshape(B, Np, C)
+
+    dqkv = jnp.concatenate([merge(dq), merge(dk), merge(dv)], axis=-1)
+    return dqkv, dbias
+
+
+def _bwd_impl() -> str:
+    """Backward implementation selector (DFD_WINATTN_BWD=masked|headed|xla).
+
+    Measured end-to-end (bench.py --model faster_vit_2_224 --official
+    --mode train --batch 128, v5e):
+    - "masked" (default): lane-masked full-C Pallas backward, adaptive
+      block — 1,606 img/s
+    - "headed": per-head-layout Pallas backward (12x fewer matmul FLOPs but
+      XLA transposes around the kernel) — 1,286 img/s
+    - "xla": einsum backward — 1,295 img/s; pure-XLA fwd+bwd
+      (DFD_DISABLE_PALLAS=1) — 1,306 img/s
+    The h× FLOP blowup of the masked trick is cheaper than ANY per-head
+    relayout at these lane-misaligned shapes (d=48), backward included.
+    """
+    import os
+
+    return os.environ.get("DFD_WINATTN_BWD", "masked").strip().lower()
+
+
 def _window_attention_v2_bwd(num_heads, scale, interpret, res, g):
     qkv, bias = res
-    dqkv, dbias = fused_window_attention_v2_bwd(
-        qkv, bias, g, num_heads=num_heads, scale=scale, interpret=interpret
-    )
+    impl = _bwd_impl()
+    if impl == "xla":
+        dqkv, dbias = _xla_window_attention_bwd(
+            qkv, bias, g, num_heads=num_heads, scale=scale
+        )
+    elif impl == "masked":
+        dqkv, dbias = fused_window_attention_v2_bwd(
+            qkv, bias, g, num_heads=num_heads, scale=scale, interpret=interpret
+        )
+    else:  # "headed" (default): per-head layout, 12x fewer matmul FLOPs
+        dqkv, dbias = _headed_window_attention_bwd(
+            qkv, bias, g, num_heads=num_heads, scale=scale, interpret=interpret
+        )
     return dqkv.astype(qkv.dtype), dbias.astype(bias.dtype)
 
 
