@@ -1,9 +1,10 @@
 """Short-window multi-head attention: XLA reference + Pallas dispatch.
 
 The model code calls ``window_mhsa`` with unpadded [B, N, h, d] tensors; this
-module picks the fused Pallas kernel (inference on TPU) or the XLA einsum
-path (training — the kernel has no VJP — and non-TPU backends), handling the
-tile padding contract of ops/pallas/window_attn.py.
+module picks the fused Pallas kernel (TPU, inference AND training — the v2
+kernel has a Pallas backward) or the XLA einsum path (non-TPU backends,
+128-aligned heads), handling the tile padding contract of
+ops/pallas/window_attn.py.
 """
 
 from __future__ import annotations
@@ -43,7 +44,7 @@ def use_pallas_for(head_dim: int, train: bool = False) -> bool:
     FasterViT-2 end-to-end):
 
     - lane-misaligned heads (head_dim % 128 != 0, e.g. the official d=48):
-      v2 wins big — eval 4,302 → 5,353 img/s; train 1,306 → 1,606 img/s
+      v2 wins big — eval 4,302 → 5,353 img/s; train 1,306 → 1,627 img/s
       with the masked Pallas backward (window_attn.py _bwd_impl has the
       full A/B series) — ON by default for BOTH modes;
     - 128-aligned heads: XLA wins (6,323 vs 5,988) — v2 stays off unless

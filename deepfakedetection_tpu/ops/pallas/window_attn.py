@@ -221,7 +221,7 @@ def fused_window_attention_v2_bwd(
     h = bias.shape[0]
     if block_windows <= 0:
         per_window = Np * threeC * 14
-        block_windows = max(1, (12 * 1024 * 1024) // per_window)
+        block_windows = max(1, (18 * 1024 * 1024) // per_window)
     G = 1
     while G * 2 <= block_windows and B % (G * 2) == 0:
         G *= 2
@@ -243,6 +243,12 @@ def fused_window_attention_v2_bwd(
         out_specs=(
             pl.BlockSpec((G, Np, threeC), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((h, Np, Np), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        # G=16 stage-2 / G=8 stage-3 blocks need ~20M scoped VMEM; raise the
+        # Mosaic cap past the 16M default (v5e has headroom) — measured
+        # faster than halving the block (docs/BENCHMARKS.md)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=26 * 1024 * 1024
         ),
         interpret=interpret,
     )(qkv, bias, dout.astype(jnp.bfloat16))
@@ -429,7 +435,7 @@ def _bwd_impl() -> str:
     Measured end-to-end (bench.py --model faster_vit_2_224 --official
     --mode train --batch 128, v5e):
     - "masked" (default): lane-masked full-C Pallas backward, adaptive
-      block — 1,606 img/s
+      block + 26M VMEM cap — 1,627 img/s
     - "headed": per-head-layout Pallas backward (12x fewer matmul FLOPs but
       XLA transposes around the kernel) — 1,286 img/s
     - "xla": einsum backward — 1,295 img/s; pure-XLA fwd+bwd
