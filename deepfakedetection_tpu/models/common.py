@@ -127,6 +127,39 @@ def _conv_f32_out_bwd(strides, padding, dn, groups, res, g):
 _conv_f32_out.defvjp(_conv_f32_out_fwd, _conv_f32_out_bwd)
 
 
+def use_pallas_dwse() -> bool:
+    """Dispatch for the fused depthwise+SiLU+SE-pool kernel
+    (ops/pallas/depthwise_se.py). EXPERIMENTAL AND MEASURED-BAD — stays OFF:
+    on v5e the compiled kernel executed pathologically slowly end-to-end
+    (the bench's 40-min ceiling expired with no result; docs/BENCHMARKS.md
+    ledger). Interpret-mode numerics are verified (tests/test_depthwise_se
+    .py); the dispatch is kept only for future re-measurement.
+    DFD_ENABLE_PALLAS_DWSE=1 / DFD_DISABLE_PALLAS=1 override."""
+    def flag(name: str) -> bool:
+        return os.environ.get(name, "").strip().lower() not in ("", "0", "false", "no")
+
+    if flag("DFD_DISABLE_PALLAS"):
+        return False
+    try:
+        if jax.default_backend() in ("cpu", "gpu"):
+            return False
+    except Exception:  # pragma: no cover
+        return False
+    return flag("DFD_ENABLE_PALLAS_DWSE")
+
+
+def _symmetric_pad(pad, k: int) -> bool:
+    """True for the stride-1 zero-pad grid the fused dw kernel implements:
+    (k//2, k//2) on both spatial dims (or TF-SAME, identical at stride 1)."""
+    if pad == "SAME":
+        return True
+    r = k // 2
+    try:
+        return tuple(map(tuple, pad)) == ((r, r), (r, r))
+    except TypeError:
+        return False
+
+
 class ConvBN(nn.Module):
     """Conv2D + BatchNorm (+ optional activation). NHWC, TF-style SAME padding.
 
@@ -155,7 +188,17 @@ class ConvBN(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        train: bool = False,
+        return_spatial_mean: bool = False,
+    ):
+        """``return_spatial_mean=True`` returns ``(y, mean|None)`` where mean
+        is the f32 spatial mean of y WHEN the fused depthwise+SiLU+pool
+        Pallas kernel served this call (ops/pallas/depthwise_se.py) — the SE
+        consumer then skips its own pooling pass. None means the caller
+        should pool normally."""
         in_features = x.shape[-1]
         kh, kw = self.kernel_size
         kernel = self.param(
@@ -192,6 +235,31 @@ class ConvBN(nn.Module):
             denom = scale * jax.lax.rsqrt(ra_var.value + self.bn_epsilon)
             w = kernel * denom  # broadcast over output-features dim
             b = bias - (ra_mean.value - (conv_bias if conv_bias is not None else 0.0)) * denom
+            if (
+                return_spatial_mean
+                and use_pallas_dwse()
+                and self.groups == self.features == in_features
+                and self.strides == (1, 1)
+                and kh == kw
+                and kh in (3, 5)
+                and self.act is nn.silu
+                and _symmetric_pad(pad, kh)
+                # deep stages only: whole-image blocks must fit VMEM, and
+                # the early high-resolution fusions already stream well
+                and x.shape[1] * x.shape[2] <= 1024
+            ):
+                from deepfakedetection_tpu.ops.pallas.depthwise_se import (
+                    depthwise_silu_pool,
+                )
+
+                B, H, W, _ = x.shape
+                y, pooled = depthwise_silu_pool(
+                    x.astype(self.dtype),
+                    w.reshape(kh, kw, self.features),
+                    b,
+                    H=H, W=W, k=kh,
+                )
+                return y, pooled
             y = _conv_f32_out(
                 x.astype(self.dtype), w.astype(self.dtype), self.strides, pad,
                 dn, self.groups,
@@ -221,11 +289,18 @@ class ConvBN(nn.Module):
             y = y * a + b
         if self.act is not None:
             y = self.act(y)
-        return y.astype(self.dtype)
+        y = y.astype(self.dtype)
+        if return_spatial_mean:
+            return y, None
+        return y
 
 
 class SqueezeExcite(nn.Module):
-    """SE block: global-avg-pool → reduce 1x1 → act → expand 1x1 → sigmoid gate."""
+    """SE block: global-avg-pool → reduce 1x1 → act → expand 1x1 → sigmoid gate.
+
+    ``pooled`` accepts a precomputed f32 [B, C] spatial mean (emitted by the
+    fused depthwise+pool kernel via ConvBN ``return_spatial_mean``) so the
+    pooling pass over x is skipped."""
 
     reduced_features: int
     act: Callable = nn.silu
@@ -233,9 +308,12 @@ class SqueezeExcite(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        # f32-accumulated reduction without materializing an f32 copy
-        se = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32).astype(self.dtype)
+    def __call__(self, x: jnp.ndarray, pooled: jnp.ndarray | None = None) -> jnp.ndarray:
+        if pooled is not None:
+            se = pooled[:, None, None, :].astype(self.dtype)
+        else:
+            # f32-accumulated reduction without materializing an f32 copy
+            se = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32).astype(self.dtype)
         se = nn.Conv(self.reduced_features, (1, 1), dtype=self.dtype, name="reduce")(se)
         se = self.act(se)
         se = nn.Conv(x.shape[-1], (1, 1), dtype=self.dtype, name="expand")(se)

@@ -100,15 +100,23 @@ class MBConv(nn.Module):
                 mid, (1, 1), act=nn.silu, bn_momentum=_BN_MOMENTUM,
                 bn_epsilon=_BN_EPSILON, dtype=self.dtype, name="expand",
             )(x, train)
-        x = ConvBN(
+        # NOTE (profiled, round 3): XLA fuses the SE global-mean INTO each
+        # depthwise-conv fusion; those fusions achieve only 44-233 GB/s and
+        # hold 29 ms of the 50 ms eval step. Breaking the fusion with an
+        # optimization_barrier was measured and REGRESSED (8,406 → 8,160
+        # img/s) — the dw window arithmetic itself is the bound, not the
+        # fusion shape. ``return_spatial_mean`` lets ConvBN serve stride-1
+        # eval calls from the fused depthwise+SiLU+pool Pallas kernel
+        # (ops/pallas/depthwise_se.py) when its dispatch enables it.
+        x, se_mean = ConvBN(
             mid, (a.kernel, a.kernel), strides=(a.stride, a.stride), groups=mid,
             act=nn.silu, bn_momentum=_BN_MOMENTUM, bn_epsilon=_BN_EPSILON,
             padding=a.dw_padding, dtype=self.dtype, name="depthwise",
-        )(x, train)
+        )(x, train, return_spatial_mean=True)
         # SE reduction is computed from the block INPUT channels (paper + the
         # efficientnet_pytorch behavior the reference fine-tunes).
         se_features = max(1, int(a.in_features * a.se_ratio))
-        x = SqueezeExcite(se_features, dtype=self.dtype, name="se")(x)
+        x = SqueezeExcite(se_features, dtype=self.dtype, name="se")(x, pooled=se_mean)
         x = ConvBN(
             a.out_features, (1, 1), bn_momentum=_BN_MOMENTUM,
             bn_epsilon=_BN_EPSILON, dtype=self.dtype, name="project",
