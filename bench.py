@@ -136,7 +136,11 @@ def main() -> None:
     enable_compile_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", default="efficientnet_b3")
-    parser.add_argument("--batch", type=int, default=512)
+    # batch sweep on v5e (B3 eval, round 3): 64→8,396, 128→9,760-10,013,
+    # 192→8,557, 256→8,792-8,937, 512→8,389-8,406, 1024→7,363 img/s —
+    # batch 128 keeps the deep-stage activations resident and peaks at
+    # 2.0x the 5k target, so it is the default
+    parser.add_argument("--batch", type=int, default=128)
     parser.add_argument("--steps", type=int, default=30)
     parser.add_argument("--mode", choices=["eval", "train"], default="eval")
     parser.add_argument(
