@@ -43,3 +43,9 @@ def test_parity_harness_offline_tiers(tmp_path):
     assert report["batch_invariance_max_delta"] < 1e-4
     assert 0.0 <= report["bf16_top1_agreement"] <= 1.0
     assert report["bf16_max_logit_delta"] >= 0.0
+    # tier 3b: per-block probes against the in-repo torch reference must
+    # exist for every stage and agree on matching synthetic weights
+    probes = report.get("block_probes", {})
+    assert len(probes) == 7, probes  # one per B3 stage
+    for label, delta in probes.items():
+        assert isinstance(delta, float) and delta < 5e-2, (label, delta)

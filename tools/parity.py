@@ -260,6 +260,11 @@ def run_parity(
         report["ref_top1_agreement"] = float(
             (logits.argmax(-1) == t_logits.argmax(-1)).mean()
         )
+        # tier 3b: per-block activation deltas (relative max|Δ| per probe) —
+        # a drift localizes to a block instead of the whole network
+        report["block_probes"] = probe_blocks(
+            spec, model, restored, torch_model, x
+        )
         if labels is not None:
             report["ref_top1"] = float((t_logits.argmax(-1) == labels).mean())
             report["top1_delta"] = abs(report["ref_top1"] - report.get("top1", 0.0))
@@ -284,6 +289,93 @@ def run_parity(
     else:
         report["torch_reference"] = "unavailable (timm/fastervit/efficientnet_pytorch not installed)"
     return report
+
+
+_PROBE_SETS = {
+    # (label, flax top-level module name, torch module name) — the same
+    # boundaries tests/test_cross_framework.py verifies; torch names follow
+    # the wheels' module layout (which tests/torch_refs mirrors)
+    "efficientnet": [
+        (f"stage{s}", f"stage{s}_block{r}", f"_blocks.{f}")
+        for s, (r, f) in enumerate(
+            zip((1, 2, 2, 4, 4, 5, 1), (1, 4, 7, 12, 17, 23, 25))
+        )
+    ],
+    "fastervit": [
+        ("level0.b2", "stage0_block2", "levels.0.blocks.2"),
+        ("ds1", "downsample_1", "levels.0.downsample"),
+        ("ds2", "downsample_2", "levels.1.downsample"),
+        ("ds3", "downsample_3", "levels.2.downsample"),
+        ("final_norm", "norm_out", "norm"),
+    ],
+    "efficientformerv2": [  # s1 depths (3,3,9,6): last block per stage
+        ("stage0", "stages_0_block2_ffn_res", "stages.0.blocks.2"),
+        ("stage1", "stages_1_block2_ffn_res", "stages.1.blocks.2"),
+        ("stage2", "stages_2_block8_ffn_res", "stages.2.blocks.8"),
+        ("stage3", "stages_3_block5_ffn_res", "stages.3.blocks.5"),
+        ("ds2", "downsample_2", "stages.2.downsample"),
+        ("ds3", "downsample_3", "stages.3.downsample"),
+    ],
+}
+
+
+def probe_blocks(spec, model, restored, torch_model, x: np.ndarray) -> dict:
+    """Per-block activation deltas flax-vs-torch on identical inputs, so a
+    real-weights drift localizes to a block instead of the whole network
+    (same probe boundaries as tests/test_cross_framework.py)."""
+    import jax.numpy as jnp
+    import torch
+
+    probes = _PROBE_SETS.get(spec.family, [])
+    if not probes:
+        return {}
+    names = {p[1] for p in probes}
+    _, inter = model.apply(
+        restored, jnp.asarray(x[:2]), train=False,
+        capture_intermediates=lambda mdl, method: (
+            method == "__call__" and mdl.name in names
+        ),
+    )
+    inter = inter["intermediates"]
+    acts: dict[str, np.ndarray] = {}
+    hooks, modules = [], dict(torch_model.named_modules())
+
+    def first(o):
+        return o[0] if isinstance(o, (tuple, list)) else o
+
+    for label, _f, tname in probes:
+        if tname not in modules:
+            continue
+
+        def mk(lbl):
+            return lambda _m, _i, out: acts.__setitem__(
+                lbl, first(out).detach().numpy()
+            )
+
+        hooks.append(modules[tname].register_forward_hook(mk(label)))
+    try:
+        with torch.inference_mode():
+            torch_model(
+                torch.from_numpy(np.ascontiguousarray(x[:2]))
+                .permute(0, 3, 1, 2).contiguous()
+            )
+    finally:
+        for h in hooks:
+            h.remove()
+    out = {}
+    for label, fname, _t in probes:
+        if label not in acts or fname not in inter:
+            continue
+        f_out = np.asarray(first(inter[fname]["__call__"][0]), np.float32)
+        t_out = acts[label].astype(np.float32)
+        if t_out.ndim == 4 and f_out.ndim == 4 and t_out.shape != f_out.shape:
+            t_out = np.transpose(t_out, (0, 2, 3, 1))  # NCHW → NHWC
+        if f_out.shape != t_out.shape:
+            out[label] = f"shape mismatch {f_out.shape} vs {t_out.shape}"
+            continue
+        scale = max(float(np.abs(t_out).max()), 1e-3)
+        out[label] = float(np.abs(f_out - t_out).max() / scale)
+    return out
 
 
 def _softmax(z: np.ndarray) -> np.ndarray:
