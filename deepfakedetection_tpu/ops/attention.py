@@ -47,8 +47,10 @@ def use_pallas_for(head_dim: int, train: bool = False) -> bool:
       v2 wins big — eval 4,302 → 5,353 img/s; train 1,306 → 1,627 img/s
       with the masked Pallas backward (window_attn.py _bwd_impl has the
       full A/B series) — ON by default for BOTH modes;
-    - 128-aligned heads: XLA wins (6,323 vs 5,988) — v2 stays off unless
-      DFD_ENABLE_PALLAS=1.
+    - 128-aligned heads: mode-dependent (round-3 same-day A/Bs at batch
+      128): EVAL stays XLA (7,214 vs 6,899), but TRAIN takes the kernel
+      (1,875 vs 1,809 — the Pallas backward avoids the per-head relayouts
+      XLA's autodiff pays even at aligned widths).
     """
     def flag(name: str) -> bool:
         # "0"/"false"/"no" mean OFF — string truthiness would invert them
@@ -60,7 +62,7 @@ def use_pallas_for(head_dim: int, train: bool = False) -> bool:
         return False
     if flag("DFD_ENABLE_PALLAS"):
         return True
-    return head_dim % 128 != 0
+    return train or head_dim % 128 != 0
 
 
 def use_pallas_attn4d(train: bool = False) -> bool:
