@@ -29,6 +29,45 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+def _run_workers(module, args_per_proc, timeout=420):
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("JAX_PLATFORMS", "XLA_FLAGS")
+    }
+    env["PYTHONPATH"] = str(REPO)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", module, *map(str, args)],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for args in args_per_proc
+    ]
+    logs = [p.communicate(timeout=timeout)[0].decode(errors="replace") for p in procs]
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"worker {i} failed:\n{logs[i][-3000:]}"
+
+
+@pytest.mark.slow
+def test_two_process_sharded_train_syncs_gradients(tiny_image_tree, tmp_path):
+    """REAL 2-process TRAIN: process-sharded loader + global-mesh train step.
+    The gradient all-reduce spans both processes, so end-of-run params must
+    be bit-identical across them; losses must match step-for-step too."""
+    port = _free_port()
+    data_dir = str(tiny_image_tree / "train")
+    outs = [tmp_path / f"t{i}.json" for i in range(2)]
+    _run_workers(
+        "tests.twoproc_train_worker",
+        [(i, 2, port, data_dir, outs[i]) for i in range(2)],
+    )
+    r0, r1 = (json.loads(o.read_text()) for o in outs)
+    assert r0["checksum"] == r1["checksum"], (r0["checksum"], r1["checksum"])
+    np.testing.assert_array_equal(r0["losses"], r1["losses"])
+    assert len(r0["losses"]) == 4  # 16 samples, batch 8, 2 epochs, lockstep
+    assert all(np.isfinite(r0["losses"]))
+
+
 @pytest.mark.slow
 def test_two_process_sharded_eval_matches_single_process(
     tiny_image_tree, tmp_path
