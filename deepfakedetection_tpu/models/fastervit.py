@@ -238,7 +238,7 @@ class TokenAttention(nn.Module):
             )
         if use_pallas_for(head_dim, train):
             out = window_mhsa_qkv_pallas(
-                qkv, bias, num_heads=h, scale=scale
+                qkv, bias, num_heads=h, scale=scale, train=train
             ).astype(self.dtype)
         else:
             qkv5 = qkv.reshape(B, N, 3, h, head_dim).transpose(2, 0, 3, 1, 4)

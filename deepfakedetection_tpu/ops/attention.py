@@ -140,14 +140,16 @@ def window_mhsa_qkv_pallas(
     *,
     num_heads: int,
     scale: float,
+    train: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused attention from the NATURAL qkv layout [B, N, 3C] (the Dense
     output, features ordered [3, h, d]) — no per-head transposes on the host
-    at all; the kernel works head-masked at full-K (window_attn.py v2).
-    Differentiable: the kernel has a Pallas flash-style backward
+    at all. Differentiable: the kernel has a Pallas flash-style backward
     (window_attn.py ``window_attention_v2``), so this path serves training
-    too. Returns [B, N, C]."""
+    too. ``train`` picks the forward variant that wins each mode on v5e
+    (masked full-K for eval, per-head sliced for train — measurements in
+    window_attn.py ``_fwd_impl``/``_bwd_impl``). Returns [B, N, C]."""
     from deepfakedetection_tpu.ops.pallas.window_attn import (
         window_attention_v2,
     )
@@ -163,7 +165,10 @@ def window_mhsa_qkv_pallas(
     if Np > N:  # mask padded KEY columns out of the softmax
         col_mask = (jnp.arange(Np) >= N)[None, None, :]
         bias_p = jnp.where(col_mask, _NEG_INF, bias_p)
-    out = window_attention_v2(qkv_p, bias_p, num_heads, scale, interpret)
+    out = window_attention_v2(
+        qkv_p, bias_p, num_heads, scale, interpret,
+        "sliced" if train else "masked",
+    )
     return out[:, :N, :]
 
 

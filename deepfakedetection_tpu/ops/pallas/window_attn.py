@@ -102,6 +102,75 @@ def _attn_kernel_v2(qkv_ref, bias_ref, out_ref, *, scale: float, num_heads: int)
     out_ref[:] = out.astype(jnp.bfloat16)
 
 
+def _attn_kernel_v5(qkv_ref, bias_ref, out_ref, *, scale: float, num_heads: int):
+    """Per-head-SLICED forward: head split via static lane slices in VMEM.
+
+    Same HBM contract as the masked v2 forward; the two matmuls per head
+    contract over K=d / output N=d instead of the masked kernel's full C
+    (see _attn_bwd_kernel_v5 for the rationale)."""
+    G, Np, threeC = qkv_ref.shape
+    C = threeC // 3
+    d = C // num_heads
+    qkv = qkv_ref[:]
+    parts = []
+    for h in range(num_heads):
+        qh = qkv[:, :, 0 * C + h * d : 0 * C + (h + 1) * d]
+        kh = qkv[:, :, 1 * C + h * d : 1 * C + (h + 1) * d]
+        vh = qkv[:, :, 2 * C + h * d : 2 * C + (h + 1) * d]
+        scores = jax.lax.dot_general(
+            qh, kh,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [G, Np, Np]
+        scores = scores * scale + bias_ref[h][None]
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(jnp.bfloat16)
+        parts.append(
+            jax.lax.dot_general(
+                probs, vh,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)
+        )  # [G, Np, d]
+    out_ref[:] = jnp.concatenate(parts, axis=2)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "scale", "block_windows", "interpret")
+)
+def fused_window_attention_v5(
+    qkv: jnp.ndarray,
+    bias: jnp.ndarray,
+    *,
+    num_heads: int,
+    scale: float,
+    block_windows: int = 16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Sliced-head forward pallas_call — same contract as the masked v2."""
+    B, Np, threeC = qkv.shape
+    C = threeC // 3
+    G = block_windows
+    while B % G != 0:
+        G //= 2
+    G = max(G, 1)
+    grid = (B // G,)
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_v5, scale=scale, num_heads=num_heads),
+        out_shape=jax.ShapeDtypeStruct((B, Np, C), jnp.bfloat16),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((G, Np, threeC), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (bias.shape[0], Np, Np), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec((G, Np, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(qkv, bias)
+
+
 def _attn_bwd_kernel_v2(
     qkv_ref, bias_ref, dout_ref, dqkv_ref, dbias_ref, *, scale: float,
     num_heads: int,
@@ -255,8 +324,32 @@ def fused_window_attention_v2_bwd(
     return dqkv, dbias
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def window_attention_v2(qkv, bias, num_heads, scale, interpret=False):
+def _fwd_impl(default: str = "masked") -> str:
+    """Forward implementation selector (DFD_WINATTN_FWD=masked|sliced).
+
+    Measured end-to-end on v5e (bench.py, batch 128): the masked forward
+    wins EVAL (official 6,008 vs 5,974 sliced; aligned 6,899 vs 6,818),
+    the sliced forward wins TRAIN paired with the sliced backward (official
+    1,667 vs 1,654 masked-fwd; aligned 1,888) — so the caller passes
+    ``fwd_impl="sliced"`` when tracing a train step and the env var
+    overrides either way.
+    """
+    import os
+
+    return os.environ.get("DFD_WINATTN_FWD", default).strip().lower()
+
+
+def _run_fwd(qkv, bias, num_heads, scale, interpret, default):
+    fn = (
+        fused_window_attention_v5
+        if _fwd_impl(default) == "sliced"
+        else fused_window_attention_v2
+    )
+    return fn(qkv, bias, num_heads=num_heads, scale=scale, interpret=interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def window_attention_v2(qkv, bias, num_heads, scale, interpret=False, fwd_impl="masked"):
     """Differentiable head-masked window attention on PADDED layouts.
 
     qkv: [B, Np, 3C] bf16; bias: [h, Np, Np] f32 with −1e9 on padded key
@@ -264,15 +357,11 @@ def window_attention_v2(qkv, bias, num_heads, scale, interpret=False):
     backward above; padding/slicing and the −1e9 masking live in the caller
     (ops/attention.py) where plain JAX autodiff handles them.
     """
-    return fused_window_attention_v2(
-        qkv, bias, num_heads=num_heads, scale=scale, interpret=interpret
-    )
+    return _run_fwd(qkv, bias, num_heads, scale, interpret, fwd_impl)
 
 
-def _window_attention_v2_fwd(qkv, bias, num_heads, scale, interpret):
-    out = fused_window_attention_v2(
-        qkv, bias, num_heads=num_heads, scale=scale, interpret=interpret
-    )
+def _window_attention_v2_fwd(qkv, bias, num_heads, scale, interpret, fwd_impl):
+    out = _run_fwd(qkv, bias, num_heads, scale, interpret, fwd_impl)
     return out, (qkv, bias)
 
 
@@ -325,6 +414,135 @@ def _attn_bwd_kernel_v3(
     @pl.when(i > 0)
     def _():
         dbias_ref[:] = dbias_ref[:] + dbias
+
+
+def _attn_bwd_kernel_v5(
+    qkv_ref, bias_ref, dout_ref, dqkv_ref, dbias_ref, *, scale: float,
+    num_heads: int,
+):
+    """Per-head-SLICED backward: the head split happens INSIDE the kernel.
+
+    The masked backward (v2 above) contracts every matmul over the full C
+    lanes — h× the useful FLOPs; the headed backward (v3) pays XLA
+    transposes through HBM around the kernel. This variant slices each
+    head's d lanes in VMEM (static lane slices — Mosaic relayout shifts,
+    no HBM traffic) and runs the five matmuls at K=d / N=d, cutting the
+    MXU work to ceil(d/128)·128/C of the masked kernel (3× at C=384, 6× at
+    C=768 for d=48) while keeping the v2 HBM layout contract.
+    """
+    i = pl.program_id(0)
+    G, Np, threeC = qkv_ref.shape
+    C = threeC // 3
+    d = C // num_heads
+    qkv = qkv_ref[:]
+    dout = dout_ref[:]
+    dq_parts, dk_parts, dv_parts, dbias_planes = [], [], [], []
+    for h in range(num_heads):
+        sl = slice(h * d, (h + 1) * d)
+        qh = qkv[:, :, 0 * C + h * d : 0 * C + (h + 1) * d]
+        kh = qkv[:, :, 1 * C + h * d : 1 * C + (h + 1) * d]
+        vh = qkv[:, :, 2 * C + h * d : 2 * C + (h + 1) * d]
+        doh = dout[:, :, sl]
+        scores = jax.lax.dot_general(
+            qh, kh,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [G, Np, Np]
+        scores = scores * scale + bias_ref[h][None]
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        p16 = p.astype(jnp.bfloat16)
+        dv_parts.append(
+            jax.lax.dot_general(
+                p16, doh,
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)
+        )  # [G, Np(keys), d]
+        dp = jax.lax.dot_general(
+            doh, vh,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [G, Np, Np]
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dbias_planes.append(jnp.sum(ds, axis=0))
+        ds16 = ds.astype(jnp.bfloat16)
+        dq_parts.append(
+            (jax.lax.dot_general(
+                ds16, kh,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * scale).astype(jnp.bfloat16)
+        )
+        dk_parts.append(
+            (jax.lax.dot_general(
+                ds16, qh,
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * scale).astype(jnp.bfloat16)
+        )
+    dqkv_ref[:] = jnp.concatenate(dq_parts + dk_parts + dv_parts, axis=2)
+    dbias = jnp.stack(dbias_planes, axis=0)
+
+    @pl.when(i == 0)
+    def _():
+        dbias_ref[:] = dbias
+
+    @pl.when(i > 0)
+    def _():
+        dbias_ref[:] = dbias_ref[:] + dbias
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "scale", "block_windows", "interpret")
+)
+def fused_window_attention_v5_bwd(
+    qkv: jnp.ndarray,
+    bias: jnp.ndarray,
+    dout: jnp.ndarray,
+    *,
+    num_heads: int,
+    scale: float,
+    block_windows: int = 0,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Sliced-head backward pallas_call — same HBM contract as the masked
+    v2 backward ((qkv [B,Np,3C], bias [h,Np,Np], dout) → (dqkv, dbias))."""
+    B, Np, threeC = qkv.shape
+    C = threeC // 3
+    h = bias.shape[0]
+    if block_windows <= 0:
+        per_window = Np * threeC * 14
+        block_windows = max(1, (18 * 1024 * 1024) // per_window)
+    G = 1
+    while G * 2 <= block_windows and B % (G * 2) == 0:
+        G *= 2
+    grid = (B // G,)
+    dqkv, dbias = pl.pallas_call(
+        functools.partial(
+            _attn_bwd_kernel_v5, scale=scale, num_heads=num_heads
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Np, threeC), jnp.bfloat16),
+            jax.ShapeDtypeStruct((h, Np, Np), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((G, Np, threeC), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, Np, Np), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, Np, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((G, Np, threeC), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, Np, Np), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=26 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(qkv, bias, dout.astype(jnp.bfloat16))
+    return dqkv, dbias
 
 
 @functools.partial(
@@ -430,30 +648,38 @@ def _xla_window_attention_bwd(qkv, bias, g, *, num_heads, scale):
 
 
 def _bwd_impl() -> str:
-    """Backward implementation selector (DFD_WINATTN_BWD=masked|headed|xla).
+    """Backward selector (DFD_WINATTN_BWD=sliced|masked|headed|xla).
 
     Measured end-to-end (bench.py --model faster_vit_2_224 --official
     --mode train --batch 128, v5e):
-    - "masked" (default): lane-masked full-C Pallas backward, adaptive
-      block + 26M VMEM cap — 1,627 img/s
+    - "sliced" (default, round 3): per-head lane slices INSIDE the kernel
+      (K=d matmuls, VMEM relayouts only) — 1,654 img/s with the masked
+      fwd, 1,667 paired with the sliced fwd
+    - "masked": lane-masked full-C Pallas backward, adaptive block + 26M
+      VMEM cap — 1,610-1,627 img/s
     - "headed": per-head-layout Pallas backward (12x fewer matmul FLOPs but
-      XLA transposes around the kernel) — 1,286 img/s
+      XLA transposes through HBM around the kernel) — 1,286 img/s
     - "xla": einsum backward — 1,295 img/s; pure-XLA fwd+bwd
       (DFD_DISABLE_PALLAS=1) — 1,306 img/s
-    The h× FLOP blowup of the masked trick is cheaper than ANY per-head
-    relayout at these lane-misaligned shapes (d=48), backward included.
+    The ranking shows WHERE the per-head split happens is everything: in
+    HBM (headed) it loses to brute-force h×-FLOP masking; in VMEM (sliced)
+    it wins on top of it.
     """
     import os
 
-    return os.environ.get("DFD_WINATTN_BWD", "masked").strip().lower()
+    return os.environ.get("DFD_WINATTN_BWD", "sliced").strip().lower()
 
 
-def _window_attention_v2_bwd(num_heads, scale, interpret, res, g):
+def _window_attention_v2_bwd(num_heads, scale, interpret, fwd_impl, res, g):
     qkv, bias = res
     impl = _bwd_impl()
     if impl == "xla":
         dqkv, dbias = _xla_window_attention_bwd(
             qkv, bias, g, num_heads=num_heads, scale=scale
+        )
+    elif impl == "sliced":
+        dqkv, dbias = fused_window_attention_v5_bwd(
+            qkv, bias, g, num_heads=num_heads, scale=scale, interpret=interpret
         )
     elif impl == "masked":
         dqkv, dbias = fused_window_attention_v2_bwd(

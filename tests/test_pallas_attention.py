@@ -51,12 +51,14 @@ def test_pallas_v2_head_masked_matches_xla():
         np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
 
 
-@pytest.mark.parametrize("impl", ["masked", "headed", "xla"])
+@pytest.mark.parametrize("impl", ["masked", "sliced", "headed", "xla"])
 def test_pallas_v2_grad_matches_xla(impl, monkeypatch):
     """jax.grad through every selectable v2 backward implementation must
     match the XLA path's autodiff gradients — for qkv AND the bias
-    (VERDICT r2 #3; the three impls' measurements are in _bwd_impl)."""
+    (VERDICT r2 #3; the impls' measurements are in _bwd_impl)."""
     monkeypatch.setenv("DFD_WINATTN_BWD", impl)
+    if impl == "sliced":  # sliced fwd pairs with the sliced bwd in practice
+        monkeypatch.setenv("DFD_WINATTN_FWD", "sliced")
     for B, N, h, d, seed in ((4, 53, 8, 48, 0), (2, 49, 16, 48, 1)):
         q, k, v, bias, scale = _mk(B=B, N=N, h=h, d=d, seed=seed)
         C = h * d
