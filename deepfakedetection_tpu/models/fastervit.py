@@ -199,6 +199,26 @@ class RelPosBiasMLP(nn.Module):
         return bias
 
 
+class _DenseParams(nn.Module):
+    """Declares a Dense layer's parameters (flax-default inits) WITHOUT
+    applying it — used by the fused attention sub-block so the param tree
+    stays byte-identical to the nn.Dense path (same checkpoint format)."""
+
+    features_in: int
+    features_out: int
+
+    @nn.compact
+    def __call__(self) -> tuple[jnp.ndarray, jnp.ndarray]:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.features_in, self.features_out), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features_out,), jnp.float32
+        )
+        return kernel, bias
+
+
 class TokenAttention(nn.Module):
     """MHSA over a token sequence with a per-head [N,N] bias.
 
@@ -220,22 +240,37 @@ class TokenAttention(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         from deepfakedetection_tpu.ops.attention import (
             use_pallas_for,
+            window_attn_subblock,
             window_mhsa_qkv_pallas,
+        )
+        from deepfakedetection_tpu.ops.pallas.attn_block import (
+            use_fused_attn_subblock,
         )
 
         B, N, C = x.shape
         h = self.num_heads
         head_dim = C // h
         scale = head_dim ** -0.5
-        qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
         if self.pos_mode == "cpb":
-            bias = RelPosBiasMLP(
+            bias_fn = lambda: RelPosBiasMLP(  # noqa: E731
                 h, self.window, self.n_global, name="pos_emb_funct"
             )()
         else:
-            bias = self.param(
+            bias_fn = lambda: self.param(  # noqa: E731
                 "rel_bias", nn.initializers.zeros, (h, N, N), jnp.float32
             )
+        if use_pallas_for(head_dim, train) and use_fused_attn_subblock(train):
+            # fully-fused sub-block: qkv/ctx never round-trip HBM. The
+            # param holders keep the flax tree identical to the Dense path
+            # (same names/shapes/inits → same checkpoints).
+            wqkv, bqkv = _DenseParams(C, 3 * C, name="qkv")()
+            wproj, bproj = _DenseParams(C, C, name="proj")()
+            return window_attn_subblock(
+                x, wqkv, bqkv, bias_fn(), wproj, bproj,
+                num_heads=h, scale=scale,
+            ).astype(self.dtype)
+        qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
+        bias = bias_fn()
         if use_pallas_for(head_dim, train):
             out = window_mhsa_qkv_pallas(
                 qkv, bias, num_heads=h, scale=scale, train=train

@@ -172,6 +172,40 @@ def window_mhsa_qkv_pallas(
     return out[:, :N, :]
 
 
+def window_attn_subblock(
+    x: jnp.ndarray,
+    wqkv: jnp.ndarray,
+    bqkv: jnp.ndarray,
+    bias: jnp.ndarray,
+    wproj: jnp.ndarray,
+    bproj: jnp.ndarray,
+    *,
+    num_heads: int,
+    scale: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused qkv-Dense → window MHSA → proj-Dense (ops/pallas/attn_block.py),
+    handling the row padding + key-column −1e9 masking here. x: [B, N, C]
+    unpadded → [B, N, C]."""
+    from deepfakedetection_tpu.ops.pallas.attn_block import attn_subblock
+
+    B, N, C = x.shape
+    Np = _round_up(N, 16)
+    xp = x.astype(jnp.bfloat16)
+    if Np > N:
+        xp = jnp.pad(xp, ((0, 0), (0, Np - N), (0, 0)))
+    bias_p = jnp.pad(
+        bias.astype(jnp.float32), ((0, 0), (0, Np - N), (0, Np - N))
+    )
+    if Np > N:
+        col_mask = (jnp.arange(Np) >= N)[None, None, :]
+        bias_p = jnp.where(col_mask, _NEG_INF, bias_p)
+    out = attn_subblock(
+        num_heads, scale, interpret, xp, wqkv, bqkv, bias_p, wproj, bproj
+    )
+    return out[:, :N, :]
+
+
 def window_mhsa(
     q: jnp.ndarray,
     k: jnp.ndarray,
