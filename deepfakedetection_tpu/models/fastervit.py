@@ -271,7 +271,11 @@ class TokenAttention(nn.Module):
             ).astype(self.dtype)
         qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
         bias = bias_fn()
-        if use_pallas_for(head_dim, train):
+        # N >= 32: the 16-token carrier-token attentions are cheaper on the
+        # XLA einsum path (A/B: official train 1,666 -> 1,683 img/s; eval
+        # and aligned-head train neutral) - the Pallas call's pad/slice
+        # overhead dominates at that size
+        if use_pallas_for(head_dim, train) and N >= 32:
             out = window_mhsa_qkv_pallas(
                 qkv, bias, num_heads=h, scale=scale, train=train
             ).astype(self.dtype)
