@@ -98,6 +98,38 @@ def test_pallas_v2_grad_matches_xla(impl, monkeypatch):
         )
 
 
+def test_sliced_kernels_handle_non_power_of_two_windows():
+    """B=6 windows forces the G-fallback (G=2, 3 grid steps) in both v5
+    kernels; results must match the masked kernels."""
+    from deepfakedetection_tpu.ops.pallas.window_attn import (
+        fused_window_attention_v2,
+        fused_window_attention_v2_bwd,
+        fused_window_attention_v5,
+        fused_window_attention_v5_bwd,
+    )
+
+    B, N, h, d = 6, 64, 8, 48
+    C = h * d
+    rng = np.random.default_rng(3)
+    qkv = jnp.asarray(rng.normal(size=(B, N, 3 * C)), jnp.bfloat16)
+    bias = jnp.asarray(rng.normal(size=(h, N, N)) * 0.1, jnp.float32)
+    dout = jnp.asarray(rng.normal(size=(B, N, C)), jnp.bfloat16)
+    kw = dict(num_heads=h, scale=d**-0.5, interpret=True)
+    a = fused_window_attention_v5(qkv, bias, **kw)
+    b = fused_window_attention_v2(qkv, bias, **kw)
+    np.testing.assert_allclose(
+        np.asarray(a, np.float32), np.asarray(b, np.float32), atol=2e-2
+    )
+    ga = fused_window_attention_v5_bwd(qkv, bias, dout, **kw)
+    gb = fused_window_attention_v2_bwd(qkv, bias, dout, **kw)
+    np.testing.assert_allclose(
+        np.asarray(ga[0], np.float32), np.asarray(gb[0], np.float32), atol=2e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(ga[1], np.float32), np.asarray(gb[1], np.float32), atol=1e-4
+    )
+
+
 def test_pallas_matches_xla_aligned_shapes():
     q, k, v, bias, scale = _mk(B=8, N=64, h=4, d=64, seed=1)
     ref = np.asarray(window_mhsa_xla(q, k, v, bias, scale=scale), np.float32)
