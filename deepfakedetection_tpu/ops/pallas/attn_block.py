@@ -232,7 +232,6 @@ def _fwd_call(x, wqkv, bqkv, bias, wproj, bproj, *, num_heads, scale, interpret)
     wproj16 = wproj.astype(jnp.bfloat16)
     bqkv8 = jnp.broadcast_to(bqkv.astype(jnp.float32)[None], (8, 3 * C))
     bproj8 = jnp.broadcast_to(bproj.astype(jnp.float32)[None], (8, C))
-    const = lambda *idx: tuple(0 for _ in idx)  # noqa: E731
     return pl.pallas_call(
         functools.partial(_fwd_kernel, num_heads=num_heads, scale=scale),
         out_shape=jax.ShapeDtypeStruct((B, Np, C), jnp.bfloat16),

@@ -1,11 +1,15 @@
 """Microbench: v2 window-attention fwd+bwd (Pallas vs XLA) at FasterViT-2
 official shapes. Times a value-fetched lax.scan loop like bench.py.
 
-Stage shapes at batch 128, 224px (official d=48):
-- stage 2 HAT: 196 windows/img -> B=25088? no — per-block call is
-  [B*nw, 53, 3*384] with nw=16: B=2048, h=8
-- stage 3 local: nw=1, N=49, C=768, h=16 -> B=128
-Usage: python tools/bench_window_bwd.py [--xla]
+Stage shapes at batch 128, 224px (official d=48; trace-confirmed in the
+round-3 profile, docs/BENCHMARKS.md):
+- HAT stage (14² map, window 7 → 4 windows/img): [512, 53, 3·384], h=8
+- plain stage (7² map, one window): [128, 49, 3·768], h=16
+The shapes below use a 4× larger HAT batch to amortize per-call dispatch
+overhead through the relay — see the microbench caveat in BENCHMARKS.md:
+isolated per-call numbers are dominated by the relay dispatch floor, so
+only end-to-end bench.py A/Bs decide adoption.
+Usage: python tools/bench_window_bwd.py [--bw N]
 """
 
 import argparse
