@@ -41,9 +41,29 @@ def bench_eval(
     steps: int = 30,
     img_size: int = 224,
     model_kwargs: dict | None = None,
+    int8: bool = False,
 ) -> float:
+    import contextlib
+
     from deepfakedetection_tpu.registry import get_model_spec
     from deepfakedetection_tpu.train.steps import init_model_variables
+
+    if int8:
+        # perf probe: uniform dummy act scale (throughput is scale-independent;
+        # accuracy-calibrated scales come from ops/quant.calibrate_act_scales
+        # in the eval job)
+        import os
+
+        from deepfakedetection_tpu.ops.quant import QuantCtx, quantized_eval
+
+        quant_scope = quantized_eval(
+            QuantCtx(
+                default_scale=0.05,
+                include_depthwise=os.environ.get("DFD_INT8_DW", "1") != "0",
+            )
+        )
+    else:
+        quant_scope = contextlib.nullcontext()
 
     spec = get_model_spec(model_name)
     model = spec.builder(2, dtype=jnp.bfloat16, **(model_kwargs or {}))
@@ -64,13 +84,14 @@ def bench_eval(
         return out
 
     base = jnp.ones((batch, img_size, img_size, 3), jnp.bfloat16)
-    float(loop(params, batch_stats, base, jnp.int32(0), steps))  # compile + warm
-    best = 0.0
-    for trial in range(3):
-        t0 = time.perf_counter()
-        float(loop(params, batch_stats, base, jnp.int32(100 + trial), steps))
-        dt = time.perf_counter() - t0
-        best = max(best, batch * steps / dt)
+    with quant_scope:  # ctx is read at trace time, so it must span the compile
+        float(loop(params, batch_stats, base, jnp.int32(0), steps))  # compile + warm
+        best = 0.0
+        for trial in range(3):
+            t0 = time.perf_counter()
+            float(loop(params, batch_stats, base, jnp.int32(100 + trial), steps))
+            dt = time.perf_counter() - t0
+            best = max(best, batch * steps / dt)
     return best
 
 
@@ -147,9 +168,15 @@ def main() -> None:
         "--official", action="store_true",
         help="FasterViT wheel-parity configuration (head_config='official')",
     )
+    parser.add_argument(
+        "--int8", action="store_true",
+        help="int8-quantized eval path (ops/quant.py; eval mode only)",
+    )
     args = parser.parse_args()
     kwargs = {"head_config": "official"} if args.official else {}
     suffix = "_official" if args.official else ""
+    if args.int8:
+        suffix += "_int8"
 
     if args.mode == "train":
         img_s = bench_train(
@@ -159,7 +186,9 @@ def main() -> None:
         metric = f"train_throughput_224px_{args.model}{suffix}"
         baseline = TRAIN_BASELINE_IMG_S
     else:
-        img_s = bench_eval(args.model, args.batch, args.steps, model_kwargs=kwargs)
+        img_s = bench_eval(
+            args.model, args.batch, args.steps, model_kwargs=kwargs, int8=args.int8
+        )
         metric = f"eval_throughput_224px_{args.model}{suffix}"
         baseline = BASELINE_IMG_S
     print(

@@ -40,6 +40,21 @@ class InferenceConfig(BaseModel):
     num_workers: int = 4
     img_size: int | None = None
     transforms: dict[str, Any] | None = None
+    # TPU extension: per-model eval numerics — "bf16" (default) or "int8"
+    # (calibrated quantized ConvBN path, ops/quant.py; opt-in serving mode)
+    precision: str | None = None
+
+    @field_validator("precision")
+    @classmethod
+    def _eval_precision_supported(cls, value: str | None) -> str | None:
+        if value is None:
+            return value
+        allowed = ("bfloat16", "bf16", "int8", "i8")
+        if str(value).lower() not in allowed:
+            raise ValueError(
+                f"inference.precision must be one of {allowed}, got {value!r}"
+            )
+        return value
 
 
 class TrainingConfig(BaseModel):

@@ -52,6 +52,11 @@ class EvalJob:
     mesh_data: int = -1
     mesh_model: int = 1
     compute_dtype: Any = jnp.bfloat16
+    # eval numerics: "bf16" (default) or "int8" — int8 quantizes the ConvBN
+    # convs (ops/quant.py) with activation scales calibrated on a few val
+    # batches before the sweep; opt-in serving mode, accuracy delta is
+    # whatever metrics.jsonl reports vs a bf16 run
+    precision: str = "bf16"
     # extra builder kwargs (e.g. fastervit head_config: "tpu"|"official")
     model_kwargs: dict[str, Any] = field(default_factory=dict)
 
@@ -200,6 +205,50 @@ def run_eval_job(job: EvalJob) -> EvalResult | None:
         return _run_eval_job(job)
 
 
+def _calibration_scope(job: EvalJob, model, params, batch_stats, plan):
+    """Context manager activating the int8 eval path when requested.
+
+    Calibrates per-ConvBN activation scales over up to 2 val batches (test
+    batches if the val split is missing) — a full-precision pass sowing
+    input absmax (ops/quant.py) — then returns the ``quantized_eval`` scope
+    that both the threshold sweep and the test pass run inside.
+    """
+    import contextlib
+
+    if str(job.precision).lower() not in ("int8", "i8"):
+        return contextlib.nullcontext()
+    from deepfakedetection_tpu.ops import quant
+
+    calib_split = job.val_split if (job.data_root / job.val_split).exists() else job.split
+    try:
+        calib_ds = scan_image_folder(job.data_root / calib_split)
+    except FileNotFoundError:
+        calib_ds = None
+    batches = []
+    if calib_ds is not None and len(calib_ds) > 0:
+        loader = make_eval_loader(
+            calib_ds, plan, batch_size=job.batch_size, num_workers=job.num_workers
+        )
+        for i, batch in enumerate(loader):
+            if i >= 2:
+                break
+            batches.append(
+                normalize_batch(jnp.asarray(batch.images), plan, out_dtype=job.compute_dtype)
+            )
+    if not batches:
+        console.print(
+            "[yellow]⚠ int8 requested but no calibration images found — "
+            "staying bf16[/]"
+        )
+        return contextlib.nullcontext()
+    scales = quant.calibrate_act_scales(model, params, batch_stats, batches)
+    console.print(
+        f"  int8 eval: calibrated {len(scales)} conv layers on "
+        f"{len(batches)} '{calib_split}' batches"
+    )
+    return quant.quantized_eval(quant.QuantCtx(scales=scales))
+
+
 def _run_eval_job(job: EvalJob) -> EvalResult | None:
     console.print(
         f"[bold]Model[/]: {job.model_name} | split={job.split} | batch={job.batch_size}"
@@ -211,6 +260,11 @@ def _run_eval_job(job: EvalJob) -> EvalResult | None:
     eval_step = make_eval_step(model)
     plan = build_eval_plan(job.img_size, job.eval_toggles)
 
+    with _calibration_scope(job, model, params, batch_stats, plan):
+        return _eval_passes(job, model, params, batch_stats, eval_step, plan, mesh)
+
+
+def _eval_passes(job, model, params, batch_stats, eval_step, plan, mesh):
     # ---- binary decision-threshold sweep on val (orchestrator.py:513-546)
     best_threshold = 0.5
     if job.num_classes == 2:
@@ -271,6 +325,8 @@ def _run_eval_job(job: EvalJob) -> EvalResult | None:
             metrics["roc_auc"] = auc
     if job.num_classes == 2:
         metrics["threshold"] = float(best_threshold)
+    if str(job.precision).lower() in ("int8", "i8"):
+        metrics["precision"] = "int8"
 
     cm = confusion(targets, preds, num_classes=job.num_classes)
     metrics["confusion_matrix"] = cm.tolist()

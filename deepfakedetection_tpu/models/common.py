@@ -235,6 +235,30 @@ class ConvBN(nn.Module):
             denom = scale * jax.lax.rsqrt(ra_var.value + self.bn_epsilon)
             w = kernel * denom  # broadcast over output-features dim
             b = bias - (ra_mean.value - (conv_bias if conv_bias is not None else 0.0)) * denom
+            from deepfakedetection_tpu.ops import quant
+
+            qctx = quant.current_ctx()
+            if qctx is not None:
+                is_dw = self.groups == self.features == in_features
+                eligible = self.groups == 1 or (is_dw and qctx.include_depthwise)
+                if eligible and qctx.calibrate:
+                    # full-precision calibration pass: record this layer's
+                    # input range, then run the normal bf16 conv below
+                    self.sow(
+                        "intermediates",
+                        "act_absmax",
+                        jnp.max(jnp.abs(x)).astype(jnp.float32),
+                    )
+                elif eligible:
+                    sx = qctx.scale_for(self.scope.path)
+                    if sx is not None:
+                        y = quant.int8_conv(
+                            x, w, b, sx, self.strides, pad, dn, self.groups
+                        )
+                        if self.act is not None:
+                            y = self.act(y)
+                        y = y.astype(self.dtype)
+                        return (y, None) if return_spatial_mean else y
             if (
                 return_spatial_mean
                 and use_pallas_dwse()

@@ -200,6 +200,7 @@ def build_eval_job(
         mesh_data=mesh_data,
         mesh_model=mesh_model,
         compute_dtype=_compute_dtype(config),
+        precision=str(infer_cfg.get("precision") or "bf16"),
         model_kwargs=_model_kwargs(model_cfg),
     )
 

@@ -1,0 +1,135 @@
+"""int8 eval quantization (ops/quant.py).
+
+The reference has no quantized path (CUDA AMP fp16 only); this is the
+additive TPU serving mode. Covered here: calibration sows per-ConvBN input
+absmax, the quantized forward tracks the bf16 forward closely, depthwise
+exclusion works, and the eval job's ``precision: "int8"`` path runs
+end-to-end (calibrate → sweep → test metrics) on the synthetic dataset.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from deepfakedetection_tpu.models.common import ConvBN
+from deepfakedetection_tpu.ops import quant
+from deepfakedetection_tpu.registry import ModelSpec, TrainRecipe
+
+
+class ConvBNNet(nn.Module):
+    """Small all-ConvBN net: dense 3x3 → depthwise → 1x1 → head."""
+
+    num_classes: int = 2
+    dtype: object = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
+        x = ConvBN(16, (3, 3), strides=(2, 2), act=nn.silu, dtype=self.dtype, name="c1")(
+            x, train=train
+        )
+        x = ConvBN(
+            16, (3, 3), groups=16, act=nn.silu, dtype=self.dtype, name="dw"
+        )(x, train=train)
+        x = ConvBN(8, (1, 1), dtype=self.dtype, name="c2")(x, train=train)
+        self.sow("intermediates", "cam_features", x)
+        x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        x = nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(x)
+        return x
+
+
+def _init(model, shape):
+    v = model.init({"params": jax.random.key(0)}, jnp.zeros(shape), train=False)
+    return v["params"], v.get("batch_stats", {})
+
+
+def test_calibrated_int8_matches_bf16_closely():
+    model = ConvBNNet()
+    params, bs = _init(model, (1, 16, 16, 3))
+    x = jax.random.normal(jax.random.key(1), (4, 16, 16, 3), jnp.float32)
+    ref = model.apply({"params": params, "batch_stats": bs}, x, train=False)
+    scales = quant.calibrate_act_scales(model, params, bs, [x])
+    assert set(scales) == {"c1", "dw", "c2"}
+    with quant.quantized_eval(quant.QuantCtx(scales=scales)):
+        q = model.apply({"params": params, "batch_stats": bs}, x, train=False)
+    err = float(jnp.max(jnp.abs(ref - q)))
+    assert err < 0.05 * max(float(jnp.max(jnp.abs(ref))), 1e-3)
+
+
+def test_depthwise_exclusion_and_train_mode_untouched():
+    model = ConvBNNet()
+    params, bs = _init(model, (1, 16, 16, 3))
+    x = jax.random.normal(jax.random.key(2), (2, 16, 16, 3), jnp.float32)
+    scales = quant.calibrate_act_scales(
+        model, params, bs, [x], include_depthwise=False
+    )
+    assert "dw" not in scales and {"c1", "c2"} <= set(scales)
+    # train mode ignores the quant ctx entirely (int8 is eval-only)
+    with quant.quantized_eval(quant.QuantCtx(scales={"c1": 0.1}, default_scale=0.1)):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": bs},
+            x,
+            train=True,
+            mutable=["batch_stats"],
+        )
+    ref, _ = model.apply(
+        {"params": params, "batch_stats": bs}, x, train=True, mutable=["batch_stats"]
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=0, atol=0)
+
+
+def test_quantize_weight_per_channel_roundtrip():
+    w = jax.random.normal(jax.random.key(3), (3, 3, 4, 8), jnp.float32)
+    wq, sw = quant.quantize_weight_per_channel(w)
+    assert wq.dtype == jnp.int8 and sw.shape == (8,)
+    err = np.max(np.abs(np.asarray(wq, np.float32) * np.asarray(sw) - np.asarray(w)))
+    # per-channel symmetric int8: error bounded by half a quantization step
+    assert err <= 0.5 * float(np.max(np.asarray(sw))) + 1e-6
+
+
+def _convbn_spec() -> ModelSpec:
+    recipe = TrainRecipe(
+        warmup_epochs=1,
+        head_param_substrings=("head",),
+        unfreeze="all",
+        early_stop_patience=None,
+    )
+    return ModelSpec(
+        name="convbn_net",
+        family="tiny",
+        variant="t",
+        weights_key="convbn_net",
+        default_image_size=32,
+        recipe=recipe,
+        builder=lambda num_classes, **kw: ConvBNNet(
+            num_classes=num_classes, dtype=kw.get("dtype", jnp.float32)
+        ),
+    )
+
+
+def test_eval_job_int8_end_to_end(tiny_image_tree, tmp_path):
+    from deepfakedetection_tpu.evaluate.job import EvalJob, run_eval_job
+    from deepfakedetection_tpu.runtime.paths import ensure_run_dirs
+
+    run_paths = ensure_run_dirs(tmp_path / "convbn_net", run_id="q0")
+    job = EvalJob(
+        model_name="convbn_net",
+        spec=_convbn_spec(),
+        run_paths=run_paths,
+        data_root=tiny_image_tree,
+        split="test",
+        num_classes=2,
+        img_size=32,
+        batch_size=8,
+        num_workers=0,
+        compute_dtype=np.float32,
+        precision="int8",
+    )
+    result = run_eval_job(job)
+    assert result is not None
+    assert result.metrics.get("precision") == "int8"
+    assert 0.0 <= result.metrics["accuracy"] <= 1.0
+    assert result.probs.shape[0] == 12
+    # the quant ctx must not leak out of the job
+    assert quant.current_ctx() is None
