@@ -179,8 +179,11 @@ def main() -> None:
         suffix += "_int8"
 
     if args.mode == "train":
+        # default batch (eval sweet spot 128) is also the train default;
+        # larger train batches are honored as given (batch sweep is a valid
+        # capacity question for train too)
         img_s = bench_train(
-            args.model, min(args.batch, 128), max(args.steps // 3, 5),
+            args.model, args.batch, max(args.steps // 3, 5),
             model_kwargs=kwargs,
         )
         metric = f"train_throughput_224px_{args.model}{suffix}"

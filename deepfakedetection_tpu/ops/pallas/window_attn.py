@@ -102,6 +102,24 @@ def _attn_kernel_v2(qkv_ref, bias_ref, out_ref, *, scale: float, num_heads: int)
     out_ref[:] = out.astype(jnp.bfloat16)
 
 
+def _fwd_compiler_params(B: int, G: int, Np: int, threeC: int):
+    """Scoped-VMEM cap for the FORWARD kernels, applied only when needed.
+
+    The G=16 stage-4 block ([16, 64, 2304] bf16) sits right at Mosaic's 16M
+    default scoped cap: it compiles (and runs fastest) uncapped at B ≤ 128,
+    but the same block OOMs at B ≥ 192 (observed 18.25M scoped — Mosaic's
+    scheduling changes with grid length), and raising the cap
+    unconditionally was measured to cost 4-5% on official EVAL (6,008 →
+    5,715-5,752 img/s). So the 26M cap (which the backward measured FASTER
+    than halving blocks) is applied only to the big-batch big-block
+    compiles that need it."""
+    if B > 128 and G * Np * threeC * 2 > 3 * 1024 * 1024:
+        return {"compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=26 * 1024 * 1024
+        )}
+    return {}
+
+
 def _attn_kernel_v5(qkv_ref, bias_ref, out_ref, *, scale: float, num_heads: int):
     """Per-head-SLICED forward: head split via static lane slices in VMEM.
 
@@ -167,6 +185,7 @@ def fused_window_attention_v5(
             ),
         ],
         out_specs=pl.BlockSpec((G, Np, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        **_fwd_compiler_params(B, G, Np, threeC),
         interpret=interpret,
     )(qkv, bias)
 
@@ -727,6 +746,7 @@ def fused_window_attention_v2(
             ),
         ],
         out_specs=pl.BlockSpec((G, Np, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        **_fwd_compiler_params(B, G, Np, threeC),
         interpret=interpret,
     )(qkv, bias)
 
