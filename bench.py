@@ -173,6 +173,8 @@ def main() -> None:
         help="int8-quantized eval path (ops/quant.py; eval mode only)",
     )
     args = parser.parse_args()
+    if args.int8 and args.mode == "train":
+        parser.error("--int8 is an eval-only path (training stays bf16)")
     kwargs = {"head_config": "official"} if args.official else {}
     suffix = "_official" if args.official else ""
     if args.int8:

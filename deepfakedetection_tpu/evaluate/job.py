@@ -206,17 +206,19 @@ def run_eval_job(job: EvalJob) -> EvalResult | None:
 
 
 def _calibration_scope(job: EvalJob, model, params, batch_stats, plan):
-    """Context manager activating the int8 eval path when requested.
+    """(scope, active) for the int8 eval path when requested.
 
     Calibrates per-ConvBN activation scales over up to 2 val batches (test
     batches if the val split is missing) — a full-precision pass sowing
     input absmax (ops/quant.py) — then returns the ``quantized_eval`` scope
-    that both the threshold sweep and the test pass run inside.
+    that both the threshold sweep and the test pass run inside. ``active``
+    is False when int8 was requested but could not calibrate (no images):
+    the eval then runs bf16 and must NOT be labeled int8 in metrics.
     """
     import contextlib
 
     if str(job.precision).lower() not in ("int8", "i8"):
-        return contextlib.nullcontext()
+        return contextlib.nullcontext(), False
     from deepfakedetection_tpu.ops import quant
 
     calib_split = job.val_split if (job.data_root / job.val_split).exists() else job.split
@@ -240,13 +242,13 @@ def _calibration_scope(job: EvalJob, model, params, batch_stats, plan):
             "[yellow]⚠ int8 requested but no calibration images found — "
             "staying bf16[/]"
         )
-        return contextlib.nullcontext()
+        return contextlib.nullcontext(), False
     scales = quant.calibrate_act_scales(model, params, batch_stats, batches)
     console.print(
         f"  int8 eval: calibrated {len(scales)} conv layers on "
         f"{len(batches)} '{calib_split}' batches"
     )
-    return quant.quantized_eval(quant.QuantCtx(scales=scales))
+    return quant.quantized_eval(quant.QuantCtx(scales=scales)), True
 
 
 def _run_eval_job(job: EvalJob) -> EvalResult | None:
@@ -260,11 +262,15 @@ def _run_eval_job(job: EvalJob) -> EvalResult | None:
     eval_step = make_eval_step(model)
     plan = build_eval_plan(job.img_size, job.eval_toggles)
 
-    with _calibration_scope(job, model, params, batch_stats, plan):
-        return _eval_passes(job, model, params, batch_stats, eval_step, plan, mesh)
+    scope, int8_active = _calibration_scope(job, model, params, batch_stats, plan)
+    with scope:
+        return _eval_passes(
+            job, model, params, batch_stats, eval_step, plan, mesh,
+            int8_active=int8_active,
+        )
 
 
-def _eval_passes(job, model, params, batch_stats, eval_step, plan, mesh):
+def _eval_passes(job, model, params, batch_stats, eval_step, plan, mesh, *, int8_active=False):
     # ---- binary decision-threshold sweep on val (orchestrator.py:513-546)
     best_threshold = 0.5
     if job.num_classes == 2:
@@ -325,7 +331,7 @@ def _eval_passes(job, model, params, batch_stats, eval_step, plan, mesh):
             metrics["roc_auc"] = auc
     if job.num_classes == 2:
         metrics["threshold"] = float(best_threshold)
-    if str(job.precision).lower() in ("int8", "i8"):
+    if int8_active:
         metrics["precision"] = "int8"
 
     cm = confusion(targets, preds, num_classes=job.num_classes)

@@ -135,17 +135,16 @@ def use_pallas_dwse() -> bool:
     ledger). Interpret-mode numerics are verified (tests/test_depthwise_se
     .py); the dispatch is kept only for future re-measurement.
     DFD_ENABLE_PALLAS_DWSE=1 / DFD_DISABLE_PALLAS=1 override."""
-    def flag(name: str) -> bool:
-        return os.environ.get(name, "").strip().lower() not in ("", "0", "false", "no")
+    from deepfakedetection_tpu.runtime.flags import env_flag
 
-    if flag("DFD_DISABLE_PALLAS"):
+    if env_flag("DFD_DISABLE_PALLAS"):
         return False
     try:
         if jax.default_backend() in ("cpu", "gpu"):
             return False
     except Exception:  # pragma: no cover
         return False
-    return flag("DFD_ENABLE_PALLAS_DWSE")
+    return env_flag("DFD_ENABLE_PALLAS_DWSE")
 
 
 def _symmetric_pad(pad, k: int) -> bool:

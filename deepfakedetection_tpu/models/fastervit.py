@@ -259,7 +259,7 @@ class TokenAttention(nn.Module):
             bias_fn = lambda: self.param(  # noqa: E731
                 "rel_bias", nn.initializers.zeros, (h, N, N), jnp.float32
             )
-        if use_pallas_for(head_dim, train) and use_fused_attn_subblock(train):
+        if use_pallas_for(head_dim, train) and use_fused_attn_subblock():
             # fully-fused sub-block: qkv/ctx never round-trip HBM. The
             # param holders keep the flax tree identical to the Dense path
             # (same names/shapes/inits → same checkpoints).

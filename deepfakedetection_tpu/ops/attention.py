@@ -52,15 +52,13 @@ def use_pallas_for(head_dim: int, train: bool = False) -> bool:
       (1,875 vs 1,809 — the Pallas backward avoids the per-head relayouts
       XLA's autodiff pays even at aligned widths).
     """
-    def flag(name: str) -> bool:
-        # "0"/"false"/"no" mean OFF — string truthiness would invert them
-        return os.environ.get(name, "").strip().lower() not in ("", "0", "false", "no")
+    from deepfakedetection_tpu.runtime.flags import env_flag
 
-    if flag("DFD_DISABLE_PALLAS"):
+    if env_flag("DFD_DISABLE_PALLAS"):
         return False
     if not _on_tpu():
         return False
-    if flag("DFD_ENABLE_PALLAS"):
+    if env_flag("DFD_ENABLE_PALLAS"):
         return True
     return train or head_dim % 128 != 0
 
@@ -70,14 +68,13 @@ def use_pallas_attn4d(train: bool = False) -> bool:
     (ops/pallas/attn4d.py). Inference-only (no VJP). Default follows the
     v5e measurement in docs/BENCHMARKS.md; DFD_ENABLE_PALLAS_ATTN4D=1 /
     DFD_DISABLE_PALLAS=1 override."""
-    def flag(name: str) -> bool:
-        return os.environ.get(name, "").strip().lower() not in ("", "0", "false", "no")
+    from deepfakedetection_tpu.runtime.flags import env_flag
 
-    if train or flag("DFD_DISABLE_PALLAS"):
+    if train or env_flag("DFD_DISABLE_PALLAS"):
         return False
     if not _on_tpu():
         return False
-    return flag("DFD_ENABLE_PALLAS_ATTN4D")
+    return env_flag("DFD_ENABLE_PALLAS_ATTN4D")
 
 
 def window_mhsa_xla(

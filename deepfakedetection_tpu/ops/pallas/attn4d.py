@@ -107,10 +107,9 @@ def fused_attn4d(
     (0 on padding); th*: [h, h] f32; th*_b: [h, 1] f32 → [B, Np, h·dv] bf16."""
     B, Np, Cq = q.shape
     Cv = v.shape[2]
-    G = block_images
-    while B % G != 0:
-        G //= 2
-    G = max(G, 1)
+    from deepfakedetection_tpu.ops.pallas.util import largest_pow2_block
+
+    G = largest_pow2_block(B, block_images)
     grid = (B // G,)
 
     def img_spec(c):

@@ -25,52 +25,27 @@ in faster_vit.py — qkv Linear, scaled dot-product with CPB bias, proj).
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from deepfakedetection_tpu.ops.pallas.util import largest_pow2_block
 
-def use_fused_attn_subblock(train: bool = False) -> bool:
+# the per-head attention fwd/bwd math is shared with the v5 window kernels —
+# one definition keeps the two kernels numerically identical by construction
+from deepfakedetection_tpu.ops.pallas.window_attn import (
+    sliced_head_attention,
+    sliced_head_attention_bwd,
+)
+
+
+def use_fused_attn_subblock() -> bool:
     """Opt-in dispatch (DFD_FUSED_ATTN=1); measured A/Bs in BENCHMARKS.md."""
-    val = os.environ.get("DFD_FUSED_ATTN", "").strip().lower()
-    return val not in ("", "0", "false", "no")
+    from deepfakedetection_tpu.runtime.flags import env_flag
 
-
-def _per_head_attention(qkv, bias, *, num_heads: int, scale: float):
-    """Sliced-head attention on VMEM-resident qkv [G, Np, 3C] → ctx, probs.
-
-    Returns ctx [G, Np, C] bf16 and the per-head probs list (f32) for the
-    backward's reuse."""
-    G, Np, threeC = qkv.shape
-    C = threeC // 3
-    d = C // num_heads
-    parts = []
-    probs_list = []
-    for h in range(num_heads):
-        qh = qkv[:, :, 0 * C + h * d : 0 * C + (h + 1) * d]
-        kh = qkv[:, :, 1 * C + h * d : 1 * C + (h + 1) * d]
-        vh = qkv[:, :, 2 * C + h * d : 2 * C + (h + 1) * d]
-        scores = jax.lax.dot_general(
-            qh, kh,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        scores = scores * scale + bias[h][None]
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-        probs_list.append(p)
-        parts.append(
-            jax.lax.dot_general(
-                p.astype(jnp.bfloat16), vh,
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.bfloat16)
-        )
-    return jnp.concatenate(parts, axis=2), probs_list
+    return env_flag("DFD_FUSED_ATTN")
 
 
 def _fwd_kernel(
@@ -85,7 +60,7 @@ def _fwd_kernel(
         preferred_element_type=jnp.float32,
     )
     qkv = (qkv2 + bqkv_ref[0][None]).astype(jnp.bfloat16).reshape(G, Np, 3 * C)
-    ctx, _ = _per_head_attention(
+    ctx, _ = sliced_head_attention(
         qkv, bias_ref[:], num_heads=num_heads, scale=scale
     )
     out2 = jax.lax.dot_general(
@@ -105,7 +80,6 @@ def _bwd_kernel(
 ):
     i = pl.program_id(0)
     G, Np, C = x_ref.shape
-    d = C // num_heads
     x2 = x_ref[:].reshape(G * Np, C)
     wqkv = wqkv_ref[:]
     wproj = wproj_ref[:]
@@ -116,8 +90,8 @@ def _bwd_kernel(
         preferred_element_type=jnp.float32,
     )
     qkv = (qkv2 + bqkv_ref[0][None]).astype(jnp.bfloat16).reshape(G, Np, 3 * C)
-    ctx, probs_list = _per_head_attention(
-        qkv, bias_ref[:], num_heads=num_heads, scale=scale
+    ctx, probs_list = sliced_head_attention(
+        qkv, bias_ref[:], num_heads=num_heads, scale=scale, keep_probs=True
     )
     dout = dout_ref[:]
     do2 = dout.reshape(G * Np, C)
@@ -134,45 +108,10 @@ def _bwd_kernel(
         preferred_element_type=jnp.float32,
     ).astype(jnp.bfloat16).reshape(G, Np, C)
     # --- attention backward (sliced heads, probs reused from recompute) ---
-    dq_parts, dk_parts, dv_parts, dbias_planes = [], [], [], []
-    for h in range(num_heads):
-        kh = qkv[:, :, C + h * d : C + (h + 1) * d]
-        vh = qkv[:, :, 2 * C + h * d : 2 * C + (h + 1) * d]
-        qh = qkv[:, :, h * d : (h + 1) * d]
-        doh = dctx[:, :, h * d : (h + 1) * d]
-        p = probs_list[h]
-        p16 = p.astype(jnp.bfloat16)
-        dv_parts.append(
-            jax.lax.dot_general(
-                p16, doh,
-                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.bfloat16)
-        )
-        dp = jax.lax.dot_general(
-            doh, vh,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dbias_planes.append(jnp.sum(ds, axis=0))
-        ds16 = ds.astype(jnp.bfloat16)
-        dq_parts.append(
-            (jax.lax.dot_general(
-                ds16, kh,
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ) * scale).astype(jnp.bfloat16)
-        )
-        dk_parts.append(
-            (jax.lax.dot_general(
-                ds16, qh,
-                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ) * scale).astype(jnp.bfloat16)
-        )
-    dqkv = jnp.concatenate(dq_parts + dk_parts + dv_parts, axis=2)
-    dbias = jnp.stack(dbias_planes, axis=0)
+    dqkv, dbias = sliced_head_attention_bwd(
+        qkv, bias_ref[:], dctx, num_heads=num_heads, scale=scale,
+        probs=probs_list,
+    )
     # --- qkv-Dense backward ---
     dqkv2 = dqkv.reshape(G * Np, 3 * C)
     dwqkv = jax.lax.dot_general(  # xᵀ·dqkv → [C, 3C]
@@ -212,12 +151,7 @@ def _bwd_kernel(
 
 def _pick_block(B: int, Np: int, C: int, budget_mb: int) -> int:
     per_window = Np * C * 2 * 10  # x/qkv/dqkv/ctx/dctx + head temps, bf16-ish
-    G = 1
-    while (
-        G * 2 * per_window <= budget_mb * 1024 * 1024 and B % (G * 2) == 0
-    ):
-        G *= 2
-    return G
+    return largest_pow2_block(B, budget_mb * 1024 * 1024 // per_window)
 
 
 @functools.partial(

@@ -25,6 +25,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from deepfakedetection_tpu.ops.pallas.util import largest_pow2_block
+
 
 def _dw_kernel(x_ref, w_ref, b_ref, y_ref, pool_ref, *, H: int, W: int, k: int):
     G, HW, C = x_ref.shape
@@ -91,9 +93,7 @@ def depthwise_silu_pool(
         # shifted temp, all at the LANE-PADDED channel count
         cp = ((C + 127) // 128) * 128
         block_images = max(1, (12 * 1024 * 1024) // (HW * cp * 20))
-    G = 1
-    while G * 2 <= block_images and B % (G * 2) == 0:
-        G *= 2
+    G = largest_pow2_block(B, block_images)
     grid = (B // G,)
     img = lambda c: pl.BlockSpec(  # noqa: E731
         (G, HW, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM

@@ -30,6 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from deepfakedetection_tpu.ops.pallas.util import largest_pow2_block
+
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale: float):
     # blocks: q/k/v [G, h, Np, Dp] bf16; bias [h, Np, Np] f32
@@ -120,17 +122,29 @@ def _fwd_compiler_params(B: int, G: int, Np: int, threeC: int):
     return {}
 
 
-def _attn_kernel_v5(qkv_ref, bias_ref, out_ref, *, scale: float, num_heads: int):
-    """Per-head-SLICED forward: head split via static lane slices in VMEM.
+def sliced_head_attention(
+    qkv: jnp.ndarray,
+    bias: jnp.ndarray,
+    *,
+    num_heads: int,
+    scale: float,
+    keep_probs: bool = False,
+):
+    """VMEM-resident sliced-head MHSA forward (the v5 per-head math).
 
-    Same HBM contract as the masked v2 forward; the two matmuls per head
-    contract over K=d / output N=d instead of the masked kernel's full C
-    (see _attn_bwd_kernel_v5 for the rationale)."""
-    G, Np, threeC = qkv_ref.shape
+    Head split via static lane slices (Mosaic VMEM relayouts, no HBM
+    traffic); the two matmuls per head contract over K=d / output N=d.
+    qkv [G, Np, 3C] bf16, bias [h, Np, Np] f32 → (ctx [G, Np, C] bf16,
+    probs list of f32 [G, Np, Np] per head when ``keep_probs`` else None).
+    Shared by the v5 window kernels below AND the fused attention
+    sub-block kernel (ops/pallas/attn_block.py) so the two stay
+    numerically identical by construction.
+    """
+    G, Np, threeC = qkv.shape
     C = threeC // 3
     d = C // num_heads
-    qkv = qkv_ref[:]
     parts = []
+    probs_list = [] if keep_probs else None
     for h in range(num_heads):
         qh = qkv[:, :, 0 * C + h * d : 0 * C + (h + 1) * d]
         kh = qkv[:, :, 1 * C + h * d : 1 * C + (h + 1) * d]
@@ -140,18 +154,98 @@ def _attn_kernel_v5(qkv_ref, bias_ref, out_ref, *, scale: float, num_heads: int)
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [G, Np, Np]
-        scores = scores * scale + bias_ref[h][None]
+        scores = scores * scale + bias[h][None]
         m = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores - m)
-        probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(jnp.bfloat16)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        if keep_probs:
+            probs_list.append(p)
         parts.append(
             jax.lax.dot_general(
-                probs, vh,
+                p.astype(jnp.bfloat16), vh,
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             ).astype(jnp.bfloat16)
         )  # [G, Np, d]
-    out_ref[:] = jnp.concatenate(parts, axis=2)
+    return jnp.concatenate(parts, axis=2), probs_list
+
+
+def sliced_head_attention_bwd(
+    qkv: jnp.ndarray,
+    bias: jnp.ndarray,
+    dout: jnp.ndarray,
+    *,
+    num_heads: int,
+    scale: float,
+    probs: list | None = None,
+):
+    """Sliced-head MHSA backward on VMEM-resident tensors (the v5 math).
+
+    Recomputes probs per head flash-style unless the caller still holds
+    them (``probs``). Returns (dqkv [G, Np, 3C] bf16 as dq‖dk‖dv,
+    dbias [h, Np, Np] f32). Shared with ops/pallas/attn_block.py.
+    """
+    G, Np, threeC = qkv.shape
+    C = threeC // 3
+    d = C // num_heads
+    dq_parts, dk_parts, dv_parts, dbias_planes = [], [], [], []
+    for h in range(num_heads):
+        qh = qkv[:, :, 0 * C + h * d : 0 * C + (h + 1) * d]
+        kh = qkv[:, :, 1 * C + h * d : 1 * C + (h + 1) * d]
+        vh = qkv[:, :, 2 * C + h * d : 2 * C + (h + 1) * d]
+        doh = dout[:, :, h * d : (h + 1) * d]
+        if probs is not None:
+            p = probs[h]
+        else:
+            scores = jax.lax.dot_general(
+                qh, kh,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [G, Np, Np]
+            scores = scores * scale + bias[h][None]
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.exp(scores - m)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+        p16 = p.astype(jnp.bfloat16)
+        dv_parts.append(
+            jax.lax.dot_general(
+                p16, doh,
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)
+        )  # [G, Np(keys), d]
+        dp = jax.lax.dot_general(
+            doh, vh,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [G, Np, Np]
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dbias_planes.append(jnp.sum(ds, axis=0))
+        ds16 = ds.astype(jnp.bfloat16)
+        dq_parts.append(
+            (jax.lax.dot_general(
+                ds16, kh,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * scale).astype(jnp.bfloat16)
+        )
+        dk_parts.append(
+            (jax.lax.dot_general(
+                ds16, qh,
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * scale).astype(jnp.bfloat16)
+        )
+    dqkv = jnp.concatenate(dq_parts + dk_parts + dv_parts, axis=2)
+    return dqkv, jnp.stack(dbias_planes, axis=0)
+
+
+def _attn_kernel_v5(qkv_ref, bias_ref, out_ref, *, scale: float, num_heads: int):
+    """Per-head-SLICED forward pallas kernel (see sliced_head_attention)."""
+    ctx, _ = sliced_head_attention(
+        qkv_ref[:], bias_ref[:], num_heads=num_heads, scale=scale
+    )
+    out_ref[:] = ctx
 
 
 @functools.partial(
@@ -169,10 +263,7 @@ def fused_window_attention_v5(
     """Sliced-head forward pallas_call — same contract as the masked v2."""
     B, Np, threeC = qkv.shape
     C = threeC // 3
-    G = block_windows
-    while B % G != 0:
-        G //= 2
-    G = max(G, 1)
+    G = largest_pow2_block(B, block_windows)
     grid = (B // G,)
     return pl.pallas_call(
         functools.partial(_attn_kernel_v5, scale=scale, num_heads=num_heads),
@@ -310,9 +401,7 @@ def fused_window_attention_v2_bwd(
     if block_windows <= 0:
         per_window = Np * threeC * 14
         block_windows = max(1, (18 * 1024 * 1024) // per_window)
-    G = 1
-    while G * 2 <= block_windows and B % (G * 2) == 0:
-        G *= 2
+    G = largest_pow2_block(B, block_windows)
     grid = (B // G,)
     dqkv, dbias = pl.pallas_call(
         functools.partial(
@@ -355,7 +444,17 @@ def _fwd_impl(default: str = "masked") -> str:
     """
     import os
 
-    return os.environ.get("DFD_WINATTN_FWD", default).strip().lower()
+    value = os.environ.get("DFD_WINATTN_FWD", default).strip().lower()
+    if value not in ("masked", "sliced"):
+        import warnings
+
+        warnings.warn(
+            f"DFD_WINATTN_FWD={value!r} is not one of masked|sliced — using "
+            f"the caller's default {default!r}",
+            stacklevel=2,
+        )
+        return default
+    return value
 
 
 def _run_fwd(qkv, bias, num_heads, scale, interpret, default):
@@ -447,62 +546,14 @@ def _attn_bwd_kernel_v5(
     head's d lanes in VMEM (static lane slices — Mosaic relayout shifts,
     no HBM traffic) and runs the five matmuls at K=d / N=d, cutting the
     MXU work to ceil(d/128)·128/C of the masked kernel (3× at C=384, 6× at
-    C=768 for d=48) while keeping the v2 HBM layout contract.
+    C=768 for d=48) while keeping the v2 HBM layout contract. The per-head
+    math lives in sliced_head_attention_bwd (shared with attn_block.py).
     """
     i = pl.program_id(0)
-    G, Np, threeC = qkv_ref.shape
-    C = threeC // 3
-    d = C // num_heads
-    qkv = qkv_ref[:]
-    dout = dout_ref[:]
-    dq_parts, dk_parts, dv_parts, dbias_planes = [], [], [], []
-    for h in range(num_heads):
-        sl = slice(h * d, (h + 1) * d)
-        qh = qkv[:, :, 0 * C + h * d : 0 * C + (h + 1) * d]
-        kh = qkv[:, :, 1 * C + h * d : 1 * C + (h + 1) * d]
-        vh = qkv[:, :, 2 * C + h * d : 2 * C + (h + 1) * d]
-        doh = dout[:, :, sl]
-        scores = jax.lax.dot_general(
-            qh, kh,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # [G, Np, Np]
-        scores = scores * scale + bias_ref[h][None]
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-        p16 = p.astype(jnp.bfloat16)
-        dv_parts.append(
-            jax.lax.dot_general(
-                p16, doh,
-                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.bfloat16)
-        )  # [G, Np(keys), d]
-        dp = jax.lax.dot_general(
-            doh, vh,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # [G, Np, Np]
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dbias_planes.append(jnp.sum(ds, axis=0))
-        ds16 = ds.astype(jnp.bfloat16)
-        dq_parts.append(
-            (jax.lax.dot_general(
-                ds16, kh,
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ) * scale).astype(jnp.bfloat16)
-        )
-        dk_parts.append(
-            (jax.lax.dot_general(
-                ds16, qh,
-                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ) * scale).astype(jnp.bfloat16)
-        )
-    dqkv_ref[:] = jnp.concatenate(dq_parts + dk_parts + dv_parts, axis=2)
-    dbias = jnp.stack(dbias_planes, axis=0)
+    dqkv, dbias = sliced_head_attention_bwd(
+        qkv_ref[:], bias_ref[:], dout_ref[:], num_heads=num_heads, scale=scale
+    )
+    dqkv_ref[:] = dqkv
 
     @pl.when(i == 0)
     def _():
@@ -534,9 +585,7 @@ def fused_window_attention_v5_bwd(
     if block_windows <= 0:
         per_window = Np * threeC * 14
         block_windows = max(1, (18 * 1024 * 1024) // per_window)
-    G = 1
-    while G * 2 <= block_windows and B % (G * 2) == 0:
-        G *= 2
+    G = largest_pow2_block(B, block_windows)
     grid = (B // G,)
     dqkv, dbias = pl.pallas_call(
         functools.partial(
@@ -592,9 +641,7 @@ def _headed_window_attention_bwd(
     if block_windows <= 0:
         per_window = h * Np * Dp * 30  # ~7 resident [h,Np,Dp]-sized planes
         block_windows = max(1, (12 * 1024 * 1024) // per_window)
-    G = 1
-    while G * 2 <= block_windows and B % (G * 2) == 0:
-        G *= 2
+    G = largest_pow2_block(B, block_windows)
     grid = (B // G,)
     blk = pl.BlockSpec((G, h, Np, Dp), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
     dq, dk, dv, dbias = pl.pallas_call(
@@ -632,9 +679,9 @@ def _headed_window_attention_bwd(
 def _xla_window_attention_bwd(qkv, bias, g, *, num_heads, scale):
     """XLA-einsum backward (recompute probs), per-head layout.
 
-    Kept alongside the Pallas backward so the dispatch can pick whichever
-    measures faster end-to-end (DFD_WINATTN_BWD=xla|pallas; measurements in
-    docs/BENCHMARKS.md)."""
+    Kept alongside the Pallas backwards so the dispatch can pick whichever
+    measures faster end-to-end (DFD_WINATTN_BWD=sliced|masked|headed|xla,
+    see _bwd_impl; measurements in docs/BENCHMARKS.md)."""
     B, Np, threeC = qkv.shape
     C = threeC // 3
     d = C // num_heads
@@ -686,7 +733,17 @@ def _bwd_impl() -> str:
     """
     import os
 
-    return os.environ.get("DFD_WINATTN_BWD", "sliced").strip().lower()
+    value = os.environ.get("DFD_WINATTN_BWD", "sliced").strip().lower()
+    if value not in ("sliced", "masked", "headed", "xla"):
+        import warnings
+
+        warnings.warn(
+            f"DFD_WINATTN_BWD={value!r} is not one of sliced|masked|headed|"
+            "xla — using the default 'sliced'",
+            stacklevel=2,
+        )
+        return "sliced"
+    return value
 
 
 def _window_attention_v2_bwd(num_heads, scale, interpret, fwd_impl, res, g):
@@ -704,7 +761,7 @@ def _window_attention_v2_bwd(num_heads, scale, interpret, fwd_impl, res, g):
         dqkv, dbias = fused_window_attention_v2_bwd(
             qkv, bias, g, num_heads=num_heads, scale=scale, interpret=interpret
         )
-    else:  # "headed" (default): per-head layout, 12x fewer matmul FLOPs
+    else:  # "headed": per-head layout, 12x fewer matmul FLOPs (loses to both)
         dqkv, dbias = _headed_window_attention_bwd(
             qkv, bias, g, num_heads=num_heads, scale=scale, interpret=interpret
         )
@@ -730,10 +787,7 @@ def fused_window_attention_v2(
     bias: [num_heads, Np, Np] f32 (-1e9 on padded key cols) → [B, Np, C]."""
     B, Np, threeC = qkv.shape
     C = threeC // 3
-    G = block_windows
-    while B % G != 0:
-        G //= 2
-    G = max(G, 1)
+    G = largest_pow2_block(B, block_windows)
     grid = (B // G,)
     return pl.pallas_call(
         functools.partial(_attn_kernel_v2, scale=scale, num_heads=num_heads),
@@ -766,10 +820,7 @@ def fused_window_attention(
     B, h, Np, Dp = q.shape
     # bound VMEM: the kernel holds ~6 temporaries of [G*h, Np, Np] f32, so
     # keep G*h ≤ 64 (≈8MB of temps at Np=64 with double buffering)
-    G = min(block_windows, max(1, 64 // h))
-    while B % G != 0:
-        G //= 2
-    G = max(G, 1)
+    G = largest_pow2_block(B, min(block_windows, max(1, 64 // h)))
     grid = (B // G,)
     qkv_spec = pl.BlockSpec(
         (G, h, Np, Dp), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM

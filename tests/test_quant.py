@@ -133,3 +133,33 @@ def test_eval_job_int8_end_to_end(tiny_image_tree, tmp_path):
     assert result.probs.shape[0] == 12
     # the quant ctx must not leak out of the job
     assert quant.current_ctx() is None
+
+
+def test_eval_job_int8_fallback_not_mislabeled(tiny_image_tree, tmp_path):
+    """int8 requested but uncalibratable → runs bf16 and metrics must NOT
+    claim int8 (round-3 review finding)."""
+    import shutil
+
+    from deepfakedetection_tpu.evaluate.job import EvalJob, run_eval_job
+    from deepfakedetection_tpu.runtime.paths import ensure_run_dirs
+
+    root = tmp_path / "data"
+    shutil.copytree(tiny_image_tree / "test", root / "test")
+    (root / "val").mkdir()  # exists but empty → calibration has no images
+    run_paths = ensure_run_dirs(tmp_path / "convbn_net", run_id="q1")
+    job = EvalJob(
+        model_name="convbn_net",
+        spec=_convbn_spec(),
+        run_paths=run_paths,
+        data_root=root,
+        split="test",
+        num_classes=2,
+        img_size=32,
+        batch_size=8,
+        num_workers=0,
+        compute_dtype=np.float32,
+        precision="int8",
+    )
+    result = run_eval_job(job)
+    assert result is not None
+    assert "precision" not in result.metrics

@@ -54,14 +54,17 @@ def main():
 
     import deepfakedetection_tpu.ops.pallas.window_attn as wa
 
-    orig = wa.fused_window_attention_v2_bwd
+    # pin block_windows on BOTH Pallas backwards — the dispatcher defaults to
+    # the sliced (v5) backward, so patching only the masked v2 one would make
+    # --bw a silent no-op unless DFD_WINATTN_BWD=masked is also set
+    for attr in ("fused_window_attention_v2_bwd", "fused_window_attention_v5_bwd"):
+        orig = getattr(wa, attr)
 
-    @functools.wraps(orig)
-    def patched(qkv, bias, dout, **kw):
-        kw["block_windows"] = args.bw
-        return orig(qkv, bias, dout, **kw)
+        def patched(qkv, bias, dout, *, _orig=orig, **kw):
+            kw["block_windows"] = args.bw
+            return _orig(qkv, bias, dout, **kw)
 
-    wa.fused_window_attention_v2_bwd = patched
+        setattr(wa, attr, functools.wraps(orig)(patched))
 
     for name, B, N, h, d in (("stage2", 2048, 53, 8, 48), ("stage3", 128, 49, 16, 48)):
         C = h * d
