@@ -192,12 +192,20 @@ class ConvBN(nn.Module):
         x: jnp.ndarray,
         train: bool = False,
         return_spatial_mean: bool = False,
+        fold_only: bool = False,
     ):
         """``return_spatial_mean=True`` returns ``(y, mean|None)`` where mean
         is the f32 spatial mean of y WHEN the fused depthwise+SiLU+pool
         Pallas kernel served this call (ops/pallas/depthwise_se.py) — the SE
         consumer then skips its own pooling pass. None means the caller
-        should pool normally."""
+        should pool normally.
+
+        ``fold_only=True`` (eval only) declares the parameters and returns
+        the BN-folded ``(w, b)`` WITHOUT running the convolution — for
+        callers that fuse several convs into one Pallas kernel (e.g. the
+        expand+depthwise kernel, ops/pallas/expand_dw.py) while keeping the
+        parameter tree checkpoint-identical; ``x`` supplies only the input
+        channel count."""
         in_features = x.shape[-1]
         kh, kw = self.kernel_size
         kernel = self.param(
@@ -234,6 +242,8 @@ class ConvBN(nn.Module):
             denom = scale * jax.lax.rsqrt(ra_var.value + self.bn_epsilon)
             w = kernel * denom  # broadcast over output-features dim
             b = bias - (ra_mean.value - (conv_bias if conv_bias is not None else 0.0)) * denom
+            if fold_only:
+                return w, b
             from deepfakedetection_tpu.ops import quant
 
             qctx = quant.current_ctx()

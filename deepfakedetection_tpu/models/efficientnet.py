@@ -95,11 +95,34 @@ class MBConv(nn.Module):
         a = self.args
         shortcut = x
         mid = a.in_features * a.expand_ratio
+        fused_expdw = False
         if a.expand_ratio != 1:
-            x = ConvBN(
+            from deepfakedetection_tpu.models.common import _symmetric_pad
+            from deepfakedetection_tpu.ops import quant
+            from deepfakedetection_tpu.ops.pallas.expand_dw import (
+                fits_expdw,
+                use_pallas_expdw,
+            )
+
+            # fused expand+dw+SiLU+pool Pallas path (eval, stride-1): the
+            # 6x-expanded tensor never leaves VMEM (ops/pallas/expand_dw.py)
+            fused_expdw = (
+                not train
+                and a.stride == 1
+                and a.kernel in (3, 5)
+                and _symmetric_pad(a.dw_padding, a.kernel)
+                and fits_expdw(x.shape[1], x.shape[2], mid)
+                and quant.current_ctx() is None
+                and use_pallas_expdw(a.kernel)
+            )
+            expand = ConvBN(
                 mid, (1, 1), act=nn.silu, bn_momentum=_BN_MOMENTUM,
                 bn_epsilon=_BN_EPSILON, dtype=self.dtype, name="expand",
-            )(x, train)
+            )
+            if fused_expdw:
+                wexp, bexp = expand(x, fold_only=True)
+            else:
+                x = expand(x, train)
         # NOTE (profiled, round 3): XLA fuses the SE global-mean INTO each
         # depthwise-conv fusion; those fusions achieve only 44-233 GB/s and
         # hold 29 ms of the 50 ms eval step. Breaking the fusion with an
@@ -108,11 +131,28 @@ class MBConv(nn.Module):
         # fusion shape. ``return_spatial_mean`` lets ConvBN serve stride-1
         # eval calls from the fused depthwise+SiLU+pool Pallas kernel
         # (ops/pallas/depthwise_se.py) when its dispatch enables it.
-        x, se_mean = ConvBN(
+        depthwise = ConvBN(
             mid, (a.kernel, a.kernel), strides=(a.stride, a.stride), groups=mid,
             act=nn.silu, bn_momentum=_BN_MOMENTUM, bn_epsilon=_BN_EPSILON,
             padding=a.dw_padding, dtype=self.dtype, name="depthwise",
-        )(x, train, return_spatial_mean=True)
+        )
+        if fused_expdw:
+            from deepfakedetection_tpu.ops.pallas.expand_dw import expand_dw_silu_pool
+
+            wdw, bdw = depthwise(
+                jnp.zeros((1, 1, 1, mid), self.dtype), fold_only=True
+            )
+            Cin = x.shape[-1]
+            x, se_mean = expand_dw_silu_pool(
+                x.astype(self.dtype),
+                wexp.reshape(Cin, mid),
+                bexp,
+                wdw.reshape(a.kernel, a.kernel, mid),
+                bdw,
+                kernel=a.kernel,
+            )
+        else:
+            x, se_mean = depthwise(x, train, return_spatial_mean=True)
         # SE reduction is computed from the block INPUT channels (paper + the
         # efficientnet_pytorch behavior the reference fine-tunes).
         se_features = max(1, int(a.in_features * a.se_ratio))
