@@ -205,3 +205,26 @@ def test_fastervit_uses_xla_path_on_cpu():
 
     assert jax.default_backend() == "cpu"
     assert use_pallas_default() is False
+
+
+def test_backend_env_selectors_validate(monkeypatch):
+    """Unknown DFD_WINATTN_BWD/FWD values warn and fall back to the defaults
+    instead of silently dispatching the slowest backend (round-3 review)."""
+    import warnings
+
+    from deepfakedetection_tpu.ops.pallas import window_attn as wa
+
+    monkeypatch.setenv("DFD_WINATTN_BWD", "pallas")  # the old docstring's lie
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert wa._bwd_impl() == "sliced"
+    assert any("DFD_WINATTN_BWD" in str(w.message) for w in caught)
+
+    monkeypatch.setenv("DFD_WINATTN_FWD", "slice")  # typo'd value
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert wa._fwd_impl("masked") == "masked"
+    assert any("DFD_WINATTN_FWD" in str(w.message) for w in caught)
+
+    monkeypatch.setenv("DFD_WINATTN_BWD", "xla")
+    assert wa._bwd_impl() == "xla"
