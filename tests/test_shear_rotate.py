@@ -42,15 +42,15 @@ def test_shear_rotation_matches_gather_warp_interior():
 
 
 def test_large_angle_raises_and_augment_falls_back():
-    """30° exceeds the 3-tap validity bound: the kernel must refuse, and
-    augment_batch must route such plans to the exact gather path."""
+    """30° exceeds the shear kernel's validity bound: the kernel must
+    refuse, and augment_batch must route such plans to the gather path."""
     import pytest
 
     from deepfakedetection_tpu.data import augment
     from deepfakedetection_tpu.data.transforms import build_train_plan
 
     img = np.zeros((1, 32, 32, 3), np.float32)
-    with pytest.raises(ValueError, match="0.24"):
+    with pytest.raises(ValueError, match="0.45"):
         rotate_batch(
             jnp.asarray(img), jnp.asarray([0.5]), max_theta=0.52, interpret=True
         )
