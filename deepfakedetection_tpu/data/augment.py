@@ -289,7 +289,14 @@ def _augment_jit(images, key, plan: TrainTransformPlan, out_dtype, rotation_mode
     if rotation_mode == "shear":
         from deepfakedetection_tpu.ops.pallas.shear_rotate import rotate_batch
 
-        x = rotate_batch(x, thetas, max_theta=max_rad)
+        # bf16 planes through the three shear passes: halves the kernel's
+        # HBM traffic (the kernel still blends in f32 internally). The two
+        # intermediate quantizations add ~0.004 noise on unit-scale pixels —
+        # below the reference pipeline's own uint8 rounding between PIL
+        # transforms (1/255 per op), so augmentation parity is unaffected.
+        x = rotate_batch(x.astype(jnp.bfloat16), thetas, max_theta=max_rad).astype(
+            jnp.float32
+        )
         params = jnp.stack(
             [ty, tx, sy, sx, jnp.ones((B,)), jnp.zeros((B,)), flip], axis=1
         )
