@@ -205,15 +205,17 @@ def run_eval_job(job: EvalJob) -> EvalResult | None:
         return _run_eval_job(job)
 
 
-def _calibration_scope(job: EvalJob, model, params, batch_stats, plan):
+def _calibration_scope(job: EvalJob, model, params, batch_stats, plan, mesh):
     """(scope, active) for the int8 eval path when requested.
 
-    Calibrates per-ConvBN activation scales over up to 2 val batches (test
-    batches if the val split is missing) — a full-precision pass sowing
-    input absmax (ops/quant.py) — then returns the ``quantized_eval`` scope
-    that both the threshold sweep and the test pass run inside. ``active``
-    is False when int8 was requested but could not calibrate (no images):
-    the eval then runs bf16 and must NOT be labeled int8 in metrics.
+    Calibrates per-ConvBN activation scales over up to 2 val batches
+    (falling back to the test split when val is missing, empty, or
+    unscannable) — a full-precision pass sowing input absmax
+    (ops/quant.py) — then returns the ``quantized_eval`` scope that both
+    the threshold sweep and the test pass run inside. ``active`` is False
+    when int8 was requested but nothing could be calibrated (no images, or
+    zero eligible conv layers): the eval then runs bf16 and must NOT be
+    labeled int8 in metrics.
     """
     import contextlib
 
@@ -221,29 +223,45 @@ def _calibration_scope(job: EvalJob, model, params, batch_stats, plan):
         return contextlib.nullcontext(), False
     from deepfakedetection_tpu.ops import quant
 
-    calib_split = job.val_split if (job.data_root / job.val_split).exists() else job.split
-    try:
-        calib_ds = scan_image_folder(job.data_root / calib_split)
-    except FileNotFoundError:
-        calib_ds = None
+    def _scan(split):
+        try:
+            ds = scan_image_folder(job.data_root / split)
+        except FileNotFoundError:
+            return None
+        return ds if len(ds) > 0 else None
+
+    calib_split, calib_ds = job.val_split, _scan(job.val_split)
+    if calib_ds is None:
+        calib_split, calib_ds = job.split, _scan(job.split)
     batches = []
-    if calib_ds is not None and len(calib_ds) > 0:
+    if calib_ds is not None:
+        # num_workers=0: a calibration-only Loader with a thread pool would
+        # leak the pool for the process lifetime; two batches decode fine
+        # sequentially. Batches shard over the SAME mesh as the eval passes
+        # (the global batch may exceed one chip's HBM on a data mesh).
         loader = make_eval_loader(
-            calib_ds, plan, batch_size=job.batch_size, num_workers=job.num_workers
+            calib_ds, plan, batch_size=job.batch_size, num_workers=0
         )
         for i, batch in enumerate(loader):
             if i >= 2:
                 break
             batches.append(
-                normalize_batch(jnp.asarray(batch.images), plan, out_dtype=job.compute_dtype)
+                normalize_batch(
+                    shard_batch(mesh, batch.images), plan, out_dtype=job.compute_dtype
+                )
             )
-    if not batches:
+    scales = (
+        quant.calibrate_act_scales(model, params, batch_stats, batches)
+        if batches
+        else {}
+    )
+    if not scales:
         console.print(
-            "[yellow]⚠ int8 requested but no calibration images found — "
-            "staying bf16[/]"
+            "[yellow]⚠ int8 requested but nothing calibrated "
+            f"({'no quantizable conv layers' if batches else 'no calibration images'}) "
+            "— staying bf16[/]"
         )
         return contextlib.nullcontext(), False
-    scales = quant.calibrate_act_scales(model, params, batch_stats, batches)
     console.print(
         f"  int8 eval: calibrated {len(scales)} conv layers on "
         f"{len(batches)} '{calib_split}' batches"
@@ -262,15 +280,15 @@ def _run_eval_job(job: EvalJob) -> EvalResult | None:
     eval_step = make_eval_step(model)
     plan = build_eval_plan(job.img_size, job.eval_toggles)
 
-    scope, int8_active = _calibration_scope(job, model, params, batch_stats, plan)
+    scope, int8_active = _calibration_scope(job, model, params, batch_stats, plan, mesh)
     with scope:
         return _eval_passes(
-            job, model, params, batch_stats, eval_step, plan, mesh,
+            job, params, batch_stats, eval_step, plan, mesh,
             int8_active=int8_active,
         )
 
 
-def _eval_passes(job, model, params, batch_stats, eval_step, plan, mesh, *, int8_active=False):
+def _eval_passes(job, params, batch_stats, eval_step, plan, mesh, *, int8_active=False):
     # ---- binary decision-threshold sweep on val (orchestrator.py:513-546)
     best_threshold = 0.5
     if job.num_classes == 2:

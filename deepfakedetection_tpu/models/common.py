@@ -135,14 +135,9 @@ def use_pallas_dwse() -> bool:
     ledger). Interpret-mode numerics are verified (tests/test_depthwise_se
     .py); the dispatch is kept only for future re-measurement.
     DFD_ENABLE_PALLAS_DWSE=1 / DFD_DISABLE_PALLAS=1 override."""
-    from deepfakedetection_tpu.runtime.flags import env_flag
+    from deepfakedetection_tpu.runtime.flags import env_flag, on_tpu
 
-    if env_flag("DFD_DISABLE_PALLAS"):
-        return False
-    try:
-        if jax.default_backend() in ("cpu", "gpu"):
-            return False
-    except Exception:  # pragma: no cover
+    if env_flag("DFD_DISABLE_PALLAS") or not on_tpu():
         return False
     return env_flag("DFD_ENABLE_PALLAS_DWSE")
 

@@ -22,10 +22,9 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() not in ("cpu", "gpu")
-    except Exception:  # pragma: no cover
-        return False
+    from deepfakedetection_tpu.runtime.flags import on_tpu
+
+    return on_tpu()
 
 
 def use_pallas_default() -> bool:

@@ -170,14 +170,9 @@ def use_pallas_expdw(kernel: int = 3) -> bool:
     =k3 restricts to 3x3 pairs; DFD_DISABLE_PALLAS=1 wins."""
     import os
 
-    from deepfakedetection_tpu.runtime.flags import env_flag
+    from deepfakedetection_tpu.runtime.flags import env_flag, on_tpu
 
-    if env_flag("DFD_DISABLE_PALLAS"):
-        return False
-    try:
-        if jax.default_backend() in ("cpu", "gpu"):
-            return False
-    except Exception:  # pragma: no cover
+    if env_flag("DFD_DISABLE_PALLAS") or not on_tpu():
         return False
     value = os.environ.get("DFD_ENABLE_PALLAS_EXPDW", "").strip().lower()
     if value == "k3":

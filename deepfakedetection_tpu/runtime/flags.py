@@ -15,3 +15,14 @@ _FALSY = ("", "0", "false", "no")
 def env_flag(name: str) -> bool:
     """True iff the env var is set to a non-falsy value."""
     return os.environ.get(name, "").strip().lower() not in _FALSY
+
+
+def on_tpu() -> bool:
+    """True iff the default JAX backend is a TPU-class device (the Pallas
+    kernel dispatches gate on this; cpu/gpu take the XLA paths)."""
+    import jax
+
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:  # pragma: no cover
+        return False

@@ -135,9 +135,9 @@ def test_eval_job_int8_end_to_end(tiny_image_tree, tmp_path):
     assert quant.current_ctx() is None
 
 
-def test_eval_job_int8_fallback_not_mislabeled(tiny_image_tree, tmp_path):
-    """int8 requested but uncalibratable → runs bf16 and metrics must NOT
-    claim int8 (round-3 review finding)."""
+def test_eval_job_int8_empty_val_falls_back_to_test_split(tiny_image_tree, tmp_path):
+    """An existing-but-empty val split must not kill calibration: it falls
+    back to the test split (round-3 review finding) and the run IS int8."""
     import shutil
 
     from deepfakedetection_tpu.evaluate.job import EvalJob, run_eval_job
@@ -145,13 +145,39 @@ def test_eval_job_int8_fallback_not_mislabeled(tiny_image_tree, tmp_path):
 
     root = tmp_path / "data"
     shutil.copytree(tiny_image_tree / "test", root / "test")
-    (root / "val").mkdir()  # exists but empty → calibration has no images
+    (root / "val").mkdir()  # exists but empty
     run_paths = ensure_run_dirs(tmp_path / "convbn_net", run_id="q1")
     job = EvalJob(
         model_name="convbn_net",
         spec=_convbn_spec(),
         run_paths=run_paths,
         data_root=root,
+        split="test",
+        num_classes=2,
+        img_size=32,
+        batch_size=8,
+        num_workers=0,
+        compute_dtype=np.float32,
+        precision="int8",
+    )
+    result = run_eval_job(job)
+    assert result is not None
+    assert result.metrics.get("precision") == "int8"
+
+
+def test_eval_job_int8_zero_scales_not_mislabeled(tiny_image_tree, tmp_path):
+    """int8 requested on a model with NO quantizable ConvBN layers → zero
+    calibrated scales → runs bf16 and metrics must NOT claim int8."""
+    from deepfakedetection_tpu.evaluate.job import EvalJob, run_eval_job
+    from deepfakedetection_tpu.runtime.paths import ensure_run_dirs
+    from tests.util import tiny_spec
+
+    run_paths = ensure_run_dirs(tmp_path / "tiny_cnn", run_id="q2")
+    job = EvalJob(
+        model_name="tiny_cnn",
+        spec=tiny_spec(),  # plain nn.Conv — no ConvBN, nothing to calibrate
+        run_paths=run_paths,
+        data_root=tiny_image_tree,
         split="test",
         num_classes=2,
         img_size=32,
