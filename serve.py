@@ -1,0 +1,424 @@
+"""Production serving endpoint: HTTP micro-batching inference server.
+
+A TPU-framework addition beyond the reference's surface (the reference
+serves only a Gradio demo, reference web_ui.py:315-328): a dependency-free
+HTTP service for online deepfake scoring with
+
+- **dynamic micro-batching**: concurrent requests are coalesced into one
+  device step (first request opens a window of ``--max-wait-ms``; the batch
+  closes at ``--max-batch`` or at the deadline, whichever first);
+- **padded batch buckets**: batches are zero-padded up to a power-of-two
+  bucket so the jitted step compiles once per bucket, never per request;
+- **per-model fan-out** with the exact prediction semantics of the UI path
+  (softmax confidence + class label, reference web_ui.py:266-270), plus the
+  orchestrator's optional binary decision threshold
+  (``p(class1) >= threshold``, reference orchestrator.py:605-607) via
+  ``inference.threshold`` in the model's YAML block.
+
+Endpoints::
+
+    POST /predict            body = raw image bytes (any PIL format), or
+                             JSON {"image_b64": "..."}; optional
+                             ?model=<name> restricts to one model
+    GET  /healthz            liveness + loaded models
+    GET  /stats              request/batch counters, latency percentiles
+
+Run::
+
+    python serve.py --config config/inference.yaml --port 8000
+    curl --data-binary @photo.jpg http://localhost:8000/predict
+
+The measured device-side batch-1 step latency is ~1.7 ms on v5e
+(docs/BENCHMARKS.md "Serving latency"); micro-batching amortizes the
+per-step dispatch cost ~5x by batch 8, so this server sustains high
+request rates without client-side batching.
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import queue
+import threading
+import time
+from collections import deque
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from typing import Any, Callable
+
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from deepfakedetection_tpu.config import load_config
+from deepfakedetection_tpu.data.augment import normalize_batch
+from deepfakedetection_tpu.data.decode import decode_pil_eval
+from deepfakedetection_tpu.data.transforms import (
+    build_eval_plan,
+    resolve_transform_mapping,
+)
+from deepfakedetection_tpu.evaluate.job import load_model_for_eval
+from deepfakedetection_tpu.orchestrator import build_eval_job
+from deepfakedetection_tpu.runtime.paths import ensure_run_dirs
+from deepfakedetection_tpu.train.steps import make_eval_step
+
+DEFAULT_CONFIG_PATH = Path("config/inference.yaml")
+
+
+def _bucket(n: int, max_batch: int) -> int:
+    """Smallest power-of-two >= n, capped at max_batch (static jit shapes)."""
+    b = 1
+    while b < n and b < max_batch:
+        b *= 2
+    return min(b, max_batch)
+
+
+class MicroBatcher:
+    """Coalesce concurrent submissions into padded device batches.
+
+    ``runner`` maps a uint8 [N, S, S, 3] array (N = a power-of-two bucket)
+    to a [N, C] float array of class probabilities. One daemon thread
+    drains the queue: the first item opens a ``max_wait_ms`` window, the
+    batch closes at ``max_batch`` items or the deadline.
+    """
+
+    def __init__(
+        self,
+        runner: Callable[[np.ndarray], np.ndarray],
+        *,
+        max_batch: int = 32,
+        max_wait_ms: float = 5.0,
+        name: str = "model",
+    ) -> None:
+        self.runner = runner
+        self.max_batch = int(max_batch)
+        self.max_wait_s = float(max_wait_ms) / 1e3
+        self.name = name
+        self._q: queue.Queue[tuple[np.ndarray, Future] | None] = queue.Queue()
+        self._lock = threading.Lock()
+        self.n_requests = 0
+        self.n_batches = 0
+        self.batch_sizes: deque[int] = deque(maxlen=1024)
+        self.latencies_ms: deque[float] = deque(maxlen=1024)
+        self._thread = threading.Thread(
+            target=self._worker, name=f"batcher-{name}", daemon=True
+        )
+        self._thread.start()
+
+    def submit(self, arr: np.ndarray) -> Future:
+        fut: Future = Future()
+        fut._t0 = time.perf_counter()  # type: ignore[attr-defined]
+        self._q.put((arr, fut))
+        return fut
+
+    def stop(self) -> None:
+        self._q.put(None)
+        self._thread.join(timeout=5)
+
+    def _worker(self) -> None:
+        while True:
+            head = self._q.get()
+            if head is None:
+                return
+            items = [head]
+            deadline = time.perf_counter() + self.max_wait_s
+            while len(items) < self.max_batch:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._flush(items)
+                    return
+                items.append(nxt)
+            self._flush(items)
+
+    def _flush(self, items: list[tuple[np.ndarray, Future]]) -> None:
+        arrs = [a for a, _ in items]
+        futs = [f for _, f in items]
+        n = len(arrs)
+        padded_n = _bucket(n, self.max_batch)
+        batch = np.stack(arrs).astype(np.uint8)
+        if padded_n > n:
+            pad = np.zeros((padded_n - n, *batch.shape[1:]), np.uint8)
+            batch = np.concatenate([batch, pad])
+        try:
+            probs = np.asarray(self.runner(batch))[:n]
+        except Exception as exc:  # propagate to every waiter
+            for f in futs:
+                if not f.cancelled():
+                    f.set_exception(exc)
+            return
+        now = time.perf_counter()
+        with self._lock:
+            self.n_requests += n
+            self.n_batches += 1
+            self.batch_sizes.append(n)
+            for f in futs:
+                self.latencies_ms.append((now - getattr(f, "_t0", now)) * 1e3)
+        for f, p in zip(futs, probs):
+            if not f.cancelled():
+                f.set_result(np.asarray(p))
+
+    def stats(self) -> dict[str, Any]:
+        with self._lock:
+            lats = sorted(self.latencies_ms)
+            sizes = list(self.batch_sizes)
+            out = {
+                "requests": self.n_requests,
+                "batches": self.n_batches,
+                "mean_batch": (sum(sizes) / len(sizes)) if sizes else 0.0,
+            }
+            if lats:
+                out["latency_ms_p50"] = lats[len(lats) // 2]
+                out["latency_ms_p99"] = lats[min(len(lats) - 1, int(len(lats) * 0.99))]
+            return out
+
+
+@dataclass
+class ServedModel:
+    """One loaded model + its preprocessing plan and batcher."""
+
+    name: str
+    display_label: str
+    plan: Any  # EvalTransformPlan
+    batcher: MicroBatcher
+    threshold: float | None = None
+
+
+@dataclass
+class ServeState:
+    models: list[ServedModel]
+    class_labels: dict[int, str] = field(default_factory=lambda: {0: "fake", 1: "real"})
+
+    def by_name(self, name: str) -> ServedModel | None:
+        for m in self.models:
+            if m.name == name:
+                return m
+        return None
+
+
+def build_state(
+    config_path: Path,
+    *,
+    max_batch: int = 32,
+    max_wait_ms: float = 5.0,
+) -> ServeState:
+    """Load every selected model from an inference YAML (same resolution
+    chain as the CLI eval / web UI: build_eval_job carries img_size
+    fallbacks, weights paths, head_config; reference web_ui.py:156-221)."""
+    config = load_config(config_path)
+    data_cfg: dict[str, Any] = config.get("data", {})
+    labels_cfg = data_cfg.get("class_labels")
+    class_labels = {0: "fake", 1: "real"}
+    if isinstance(labels_cfg, dict):
+        class_labels = {int(k): str(v) for k, v in labels_cfg.items()}
+
+    models_cfg: dict[str, dict[str, Any]] = config.get("models", {})
+    selection: list[str] = config.get("selection") or list(models_cfg.keys())
+
+    served: list[ServedModel] = []
+    for model_name in selection:
+        model_cfg = models_cfg.get(model_name)
+        if not isinstance(model_cfg, dict):
+            print(f"[serve] Skipping unknown model '{model_name}' in selection.")
+            continue
+        run_paths = ensure_run_dirs(
+            Path(model_cfg.get("output_dir") or f"runs/{model_name}"), run_id="serve"
+        )
+        job = build_eval_job(
+            config, model_name, dict(model_cfg, name=model_name), run_paths
+        )
+        toggles = resolve_transform_mapping(model_cfg, phase="eval")
+        plan = build_eval_plan(job.img_size, toggles)
+        model, params, batch_stats = load_model_for_eval(job)
+        eval_step = make_eval_step(model)
+
+        def runner(
+            batch_u8: np.ndarray,
+            *,
+            _plan=plan,
+            _eval=eval_step,
+            _params=params,
+            _bs=batch_stats,
+        ) -> np.ndarray:
+            x = normalize_batch(jnp.asarray(batch_u8), _plan, out_dtype=jnp.float32)
+            return np.asarray(_eval(_params, _bs, x))
+
+        infer_cfg = model_cfg.get("inference") or {}
+        thr = infer_cfg.get("threshold")
+        served.append(
+            ServedModel(
+                name=model_name,
+                display_label=str(
+                    model_cfg.get("display_name")
+                    or model_cfg.get("label")
+                    or model_name
+                ),
+                plan=plan,
+                batcher=MicroBatcher(
+                    runner,
+                    max_batch=max_batch,
+                    max_wait_ms=max_wait_ms,
+                    name=model_name,
+                ),
+                threshold=float(thr) if thr is not None else None,
+            )
+        )
+    if not served:
+        raise RuntimeError("No valid models configured for serving.")
+    return ServeState(models=served, class_labels=class_labels)
+
+
+def predict_once(state: ServeState, image: Image.Image, only: str | None = None):
+    """Fan an image out to the served models, gather scored results."""
+    targets = state.models if only is None else [m for m in state.models if m.name == only]
+    if not targets:
+        raise KeyError(only or "<none>")
+    futs = []
+    for m in targets:
+        arr = decode_pil_eval(image, m.plan)  # uint8 [S,S,3]
+        futs.append((m, m.batcher.submit(arr)))
+    results = []
+    for m, fut in futs:
+        probs = fut.result(timeout=120)
+        if m.threshold is not None and probs.shape[-1] == 2:
+            cls_idx = int(probs[1] >= m.threshold)
+        else:
+            cls_idx = int(probs.argmax())
+        results.append(
+            {
+                "model": m.name,
+                "display_name": m.display_label,
+                "label": state.class_labels.get(cls_idx, f"class_{cls_idx}"),
+                "class_index": cls_idx,
+                "confidence": float(probs[cls_idx]),
+                "probs": [float(p) for p in probs],
+            }
+        )
+    return results
+
+
+class _Handler(BaseHTTPRequestHandler):
+    state: ServeState  # set by build_server
+
+    def log_message(self, fmt: str, *args: Any) -> None:  # quiet by default
+        pass
+
+    def _send_json(self, payload: dict[str, Any], code: int = 200) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self) -> None:  # noqa: N802 (http.server API)
+        if self.path.startswith("/healthz"):
+            self._send_json(
+                {"status": "ok", "models": [m.name for m in self.state.models]}
+            )
+        elif self.path.startswith("/stats"):
+            self._send_json(
+                {m.name: m.batcher.stats() for m in self.state.models}
+            )
+        else:
+            self._send_json({"error": f"unknown path {self.path}"}, 404)
+
+    def do_POST(self) -> None:  # noqa: N802
+        if not self.path.startswith("/predict"):
+            self._send_json({"error": f"unknown path {self.path}"}, 404)
+            return
+        only = None
+        if "?" in self.path:
+            from urllib.parse import parse_qs, urlparse
+
+            q = parse_qs(urlparse(self.path).query)
+            only = (q.get("model") or [None])[0]
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+            body = self.rfile.read(length)
+            ctype = (self.headers.get("Content-Type") or "").lower()
+            if ctype.startswith("application/json"):
+                blob = base64.b64decode(json.loads(body)["image_b64"])
+            else:
+                blob = body
+            image = Image.open(io.BytesIO(blob))
+            image.load()
+        except Exception as exc:
+            self._send_json({"error": f"bad request: {exc}"}, 400)
+            return
+        t0 = time.perf_counter()
+        try:
+            results = predict_once(self.state, image, only)
+        except KeyError as exc:
+            self._send_json({"error": f"unknown model {exc}"}, 404)
+            return
+        except Exception as exc:
+            self._send_json({"error": f"inference failed: {exc}"}, 500)
+            return
+        self._send_json(
+            {
+                "results": results,
+                "latency_ms": (time.perf_counter() - t0) * 1e3,
+            }
+        )
+
+
+def build_server(
+    config_path: Path,
+    *,
+    host: str = "127.0.0.1",
+    port: int = 8000,
+    max_batch: int = 32,
+    max_wait_ms: float = 5.0,
+    state: ServeState | None = None,
+) -> ThreadingHTTPServer:
+    """Construct (but don't start) the HTTP server; ``port=0`` picks a free
+    port (``server.server_address`` reports it) — used by tests."""
+    st = state or build_state(
+        config_path, max_batch=max_batch, max_wait_ms=max_wait_ms
+    )
+    handler = type("Handler", (_Handler,), {"state": st})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="Deepfake detection serving endpoint")
+    parser.add_argument("--config", type=Path, default=DEFAULT_CONFIG_PATH)
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--max-batch", type=int, default=32)
+    parser.add_argument("--max-wait-ms", type=float, default=5.0)
+    args = parser.parse_args()
+
+    from deepfakedetection_tpu.runtime.compile_cache import enable as enable_cache
+
+    enable_cache()
+    server = build_server(
+        args.config,
+        host=args.host,
+        port=args.port,
+        max_batch=args.max_batch,
+        max_wait_ms=args.max_wait_ms,
+    )
+    host, port = server.server_address[:2]
+    print(f"[serve] listening on http://{host}:{port} "
+          f"(max_batch={args.max_batch}, max_wait_ms={args.max_wait_ms})")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()

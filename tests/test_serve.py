@@ -1,0 +1,194 @@
+"""serve.py: micro-batcher semantics + HTTP endpoint over a tiny model."""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+import time
+import urllib.request
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+import pytest
+import yaml
+from PIL import Image
+
+import serve
+from serve import MicroBatcher, _bucket
+from tests.util import tiny_spec
+
+
+def test_bucket_rounds_to_power_of_two():
+    assert [_bucket(n, 32) for n in (1, 2, 3, 5, 8, 9, 31, 32, 40)] == [
+        1, 2, 4, 8, 8, 16, 32, 32, 32,
+    ]
+
+
+def test_microbatcher_coalesces_and_pads():
+    seen_batches: list[int] = []
+
+    def runner(batch: np.ndarray) -> np.ndarray:
+        # padded to a power-of-two bucket, zeros in the tail
+        assert batch.shape[0] & (batch.shape[0] - 1) == 0
+        seen_batches.append(batch.shape[0])
+        # echo the per-item mean so results can be matched to submissions
+        return np.stack([np.full((2,), a.mean(), np.float32) for a in batch])
+
+    mb = MicroBatcher(runner, max_batch=8, max_wait_ms=50.0, name="t")
+    arrs = [np.full((4, 4, 3), i, np.uint8) for i in range(5)]
+    futs = [mb.submit(a) for a in arrs]
+    results = [f.result(timeout=10) for f in futs]
+    for i, r in enumerate(results):
+        assert r[0] == pytest.approx(float(i))
+    stats = mb.stats()
+    assert stats["requests"] == 5
+    # 5 submissions arrive fast → should coalesce into few batches, each
+    # padded to a power of two
+    assert stats["batches"] <= 5
+    assert all(b in (1, 2, 4, 8) for b in seen_batches)
+    assert "latency_ms_p50" in stats
+    mb.stop()
+
+
+def test_microbatcher_propagates_runner_errors():
+    def runner(batch: np.ndarray) -> np.ndarray:
+        raise RuntimeError("device on fire")
+
+    mb = MicroBatcher(runner, max_batch=4, max_wait_ms=1.0, name="err")
+    fut = mb.submit(np.zeros((2, 2, 3), np.uint8))
+    with pytest.raises(RuntimeError, match="device on fire"):
+        fut.result(timeout=10)
+    mb.stop()
+
+
+@pytest.fixture()
+def serve_state(tmp_path, monkeypatch):
+    """ServeState over the tiny CNN (registry swapped like test_webui_init)."""
+    cfg = {
+        "data": {
+            "root": str(tmp_path / "data"),
+            "num_classes": 2,
+            "img_size": 32,
+            "class_labels": {"0": "fake", "1": "real"},
+        },
+        "models": {
+            "efficientnet_b3": {
+                "display_name": "Tiny Serve",
+                "output_dir": str(tmp_path / "runs/t"),
+            }
+        },
+        "selection": ["efficientnet_b3"],
+    }
+    p = tmp_path / "cfg.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+
+    import deepfakedetection_tpu.orchestrator as orchestrator
+
+    spec = tiny_spec()
+    monkeypatch.setattr(orchestrator, "get_model_spec", lambda name: spec)
+    monkeypatch.chdir(tmp_path)
+    return serve.build_state(p, max_batch=8, max_wait_ms=5.0)
+
+
+def _jpeg_bytes(value: int = 128) -> bytes:
+    img = Image.fromarray(np.full((40, 48, 3), value, np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG")
+    return buf.getvalue()
+
+
+def test_predict_once_shapes_and_labels(serve_state):
+    img = Image.open(io.BytesIO(_jpeg_bytes()))
+    results = serve.predict_once(serve_state, img)
+    assert len(results) == 1
+    r = results[0]
+    assert r["model"] == "efficientnet_b3"
+    assert r["display_name"] == "Tiny Serve"
+    assert r["label"] in ("fake", "real")
+    assert len(r["probs"]) == 2
+    assert r["confidence"] == pytest.approx(max(r["probs"]))
+    assert sum(r["probs"]) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_threshold_overrides_argmax(serve_state):
+    # force the decision threshold to 0 → class 1 always chosen (ref
+    # orchestrator.py:605-607 semantics: p(class1) >= threshold)
+    serve_state.models[0].threshold = 0.0
+    img = Image.open(io.BytesIO(_jpeg_bytes()))
+    r = serve.predict_once(serve_state, img)[0]
+    assert r["class_index"] == 1
+    serve_state.models[0].threshold = 1.1
+    r = serve.predict_once(serve_state, img)[0]
+    assert r["class_index"] == 0
+
+
+def test_http_endpoints_and_concurrent_batching(serve_state, tmp_path):
+    server = serve.build_server(tmp_path / "unused.yaml", port=0, state=serve_state)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    host, port = server.server_address[:2]
+    base = f"http://{host}:{port}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as resp:
+            health = json.loads(resp.read())
+        assert health["status"] == "ok"
+        assert health["models"] == ["efficientnet_b3"]
+
+        payload = _jpeg_bytes()
+
+        def post(val: int):
+            req = urllib.request.Request(
+                f"{base}/predict", data=_jpeg_bytes(val), method="POST"
+            )
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                return json.loads(resp.read())
+
+        # warm the jit on a single request first
+        first = post(100)
+        assert first["results"][0]["label"] in ("fake", "real")
+
+        # concurrent posts exercise the coalescing path
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            outs = list(ex.map(post, [10, 90, 170, 250]))
+        assert all(len(o["results"]) == 1 for o in outs)
+
+        # JSON body with base64 image
+        import base64
+
+        req = urllib.request.Request(
+            f"{base}/predict",
+            data=json.dumps({"image_b64": base64.b64encode(payload).decode()}).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            out = json.loads(resp.read())
+        assert out["results"][0]["model"] == "efficientnet_b3"
+
+        # unknown model → 404
+        req = urllib.request.Request(
+            f"{base}/predict?model=nope", data=payload, method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(req, timeout=30)
+        assert exc_info.value.code == 404
+
+        # garbage body → 400
+        req = urllib.request.Request(
+            f"{base}/predict", data=b"not an image", method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(req, timeout=30)
+        assert exc_info.value.code == 400
+
+        with urllib.request.urlopen(f"{base}/stats", timeout=30) as resp:
+            stats = json.loads(resp.read())
+        assert stats["efficientnet_b3"]["requests"] >= 6
+        assert stats["efficientnet_b3"]["batches"] >= 1
+    finally:
+        server.shutdown()
+        thread.join(timeout=10)
+        for m in serve_state.models:
+            m.batcher.stop()
+        time.sleep(0.05)
