@@ -66,6 +66,16 @@ class TrainingConfig(BaseModel):
     img_size: int | None = None
     transforms: dict[str, Any] | None = None
     resume: str | bool | None = None
+    # TPU extension: exponential moving average of the fine-tune weights
+    # (None = off = reference behavior); see train/loop.py TrainJob.ema_decay
+    ema_decay: float | None = None
+
+    @field_validator("ema_decay")
+    @classmethod
+    def _ema_decay_in_unit_interval(cls, value: float | None) -> float | None:
+        if value is not None and not (0.0 < value < 1.0):
+            raise ValueError(f"ema_decay must be in (0, 1), got {value}")
+        return value
 
 
 class ModelConfig(BaseModel):

@@ -94,6 +94,11 @@ class TrainJob:
     # (the host decode is deterministic; all augmentation randomness is on
     # device). ~canvas²·3 bytes per image. TPU extension, default off.
     cache_decoded: bool = False
+    # exponential moving average of the fine-tune weights (TPU extension,
+    # default off = reference behavior). When set (e.g. 0.999), validation,
+    # best-model selection, and the exported ``.pth`` use the averaged
+    # weights; ``latest.ckpt`` carries the EMA tree for resume.
+    ema_decay: float | None = None
     # extra builder kwargs (e.g. fastervit head_config: "tpu"|"official")
     model_kwargs: dict[str, Any] = field(default_factory=dict)
 
@@ -255,7 +260,7 @@ def _run_training(job: TrainJob) -> TrainResult:
         if staged is not None:
             yield staged
 
-    def train_one_epoch(train_step, state, loader, epoch_key, desc):
+    def train_one_epoch(train_step, state, loader, epoch_key, desc, on_step=None):
         losses = []
         speed = 0.0
         # distinct PRNG domain for the step's dropout/drop-path keys: the
@@ -269,6 +274,8 @@ def _run_training(job: TrainJob) -> TrainResult:
                 loader, epoch_key, train_plan
             ):
                 state, metrics = train_step(state, x, labels, mask, step_key)
+                if on_step is not None:
+                    on_step(state)
                 losses.append(metrics["loss"])
                 speed = advance(num_valid)
         mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
@@ -303,15 +310,29 @@ def _run_training(job: TrainJob) -> TrainResult:
 
     # ----- auto-resume (train_env.py:182-185,288-306) ----------------------
     latest = ckpt.latest_path(job.run_paths.checkpoints)
+    ema_params = None  # populated when job.ema_decay is set
     if job.resume_auto and latest.exists():
         target = {
             "state": ft_state,
             "counters": _counters_tree(0, 0.0, -1, False),
         }
-        restored = ckpt.restore_tree(latest, target)
+        if job.ema_decay:
+            try:
+                restored = ckpt.restore_tree(
+                    latest, dict(target, ema=ft_state.params)
+                )
+                ema_params = restored["ema"]
+            except Exception:
+                # checkpoint written before EMA was enabled: resume the
+                # state and seed the average from the resumed weights
+                restored = ckpt.restore_tree(latest, target)
+        else:
+            restored = ckpt.restore_tree(latest, target)
         from deepfakedetection_tpu.parallel.mesh import replicated
 
         ft_state = jax.device_put(restored["state"], replicated(mesh))
+        if ema_params is not None:
+            ema_params = jax.device_put(ema_params, replicated(mesh))
         c = restored["counters"]
         start_epoch = int(c["epoch"]) + 1
         best_val_acc = float(c["best_val_acc"])
@@ -377,14 +398,34 @@ def _run_training(job: TrainJob) -> TrainResult:
         num_workers=job.num_workers, cache_decoded=job.cache_decoded,
     )
 
+    # ----- optional weight EMA (TPU extension, see TrainJob.ema_decay) ------
+    on_step = None
+    ema_box: dict[str, Any] = {}
+    if job.ema_decay:
+        from deepfakedetection_tpu.train.steps import make_ema_update
+
+        ema_update = make_ema_update(float(job.ema_decay))
+        # explicit copy: the update donates the EMA buffers, which must not
+        # alias the live training params
+        ema_box["ema"] = (
+            ema_params
+            if ema_params is not None
+            else jax.tree.map(jnp.copy, ft_state.params)
+        )
+        console.print(f"  weight EMA: decay={job.ema_decay}")
+
+        def on_step(state):  # noqa: F811 — deliberate rebind from None
+            ema_box["ema"] = ema_update(ema_box["ema"], state.params)
+
     # reconstruct the early-stop window on resume, matching the reference's
     # semantics (trainers/efficientnet.py:506): a resumed stalled run must
     # NOT get a fresh full patience window
     epochs_without_improvement = max(0, start_epoch - 1 - best_epoch)
     epoch = start_epoch - 1
-    def maybe_recalibrate(state, epoch):
+    def recalc_stats(params, stats, epoch):
+        """Precise-BN pass: running stats re-estimated for ``params``."""
         if job.bn_recalc_batches <= 0:
-            return state
+            return stats
         from deepfakedetection_tpu.train.steps import recalibrate_bn
 
         recalc_key = jax.random.fold_in(key, 30_000 + epoch)
@@ -399,18 +440,31 @@ def _run_training(job: TrainJob) -> TrainResult:
                 )
                 yield x
 
-        fresh = recalibrate_bn(model, state.params, state.batch_stats, batches(), recalc_key)
-        return state.replace(batch_stats=fresh)
+        return recalibrate_bn(model, params, stats, batches(), recalc_key)
 
     for epoch in range(start_epoch, epochs):
         ft_loader.set_epoch(epoch)
         epoch_key = jax.random.fold_in(key, 20_000 + epoch)
         ft_state, final_loss = train_one_epoch(
-            ft_step, ft_state, ft_loader, epoch_key, f"epoch {epoch + 1}/{epochs}"
+            ft_step, ft_state, ft_loader, epoch_key,
+            f"epoch {epoch + 1}/{epochs}", on_step=on_step,
         )
-        ft_state = maybe_recalibrate(ft_state, epoch)
+        ft_state = ft_state.replace(
+            batch_stats=recalc_stats(ft_state.params, ft_state.batch_stats, epoch)
+        )
+        if job.ema_decay:
+            # validate/select/export on the averaged weights; when precise-BN
+            # is on, the stats are re-estimated for the EMA params too
+            eval_params = ema_box["ema"]
+            eval_stats = (
+                recalc_stats(eval_params, ft_state.batch_stats, epoch)
+                if job.bn_recalc_batches > 0
+                else ft_state.batch_stats
+            )
+        else:
+            eval_params, eval_stats = ft_state.params, ft_state.batch_stats
         acc, espeed = evaluate(
-            eval_step, ft_state.params, ft_state.batch_stats, eval_loader,
+            eval_step, eval_params, eval_stats, eval_loader,
             eval_plan, mesh=mesh, compute_dtype=job.compute_dtype,
         )
         improved = acc > best_val_acc + recipe.improvement_threshold
@@ -422,7 +476,8 @@ def _run_training(job: TrainJob) -> TrainResult:
             epochs_without_improvement += 1
         # NB: bracketed text would be parsed (and dropped) as rich markup
         console.print(
-            f"  val acc={acc:.4f} ({espeed:.1f} img/s)"
+            f"  val acc={acc:.4f}{' ema' if job.ema_decay else ''} "
+            f"({espeed:.1f} img/s)"
             + (" ← best" if improved else "")
         )
         # per-epoch training record in the same append-only metrics surface
@@ -449,13 +504,15 @@ def _run_training(job: TrainJob) -> TrainResult:
             "state": ft_state,
             "counters": _counters_tree(epoch, best_val_acc, best_epoch, True),
         }
+        if job.ema_decay:
+            tree["ema"] = ema_box["ema"]
         ckpt.save_tree(ckpt.latest_path(job.run_paths.checkpoints), tree)
         if improved:
             ckpt.save_tree(ckpt.best_path(job.run_paths.checkpoints), tree)
             ckpt.export_weights(
                 job.run_paths.checkpoints / f"{job.spec.weights_key}.pth",
-                ft_state.params,
-                ft_state.batch_stats,
+                eval_params,
+                eval_stats,
             )
         if patience is not None and epochs_without_improvement >= patience:
             console.print(

@@ -172,6 +172,25 @@ def recalibrate_bn(model, params, batch_stats, batch_iter, key):
     return _correct(avg_dict, sq_dict)
 
 
+def make_ema_update(decay: float):
+    """Jitted exponential-moving-average update of a param tree.
+
+    TPU-framework training extension (absent from the reference): when
+    ``training.ema_decay`` is set, the trainer maintains
+    ``ema = decay*ema + (1-decay)*params`` after every optimizer step and
+    evaluates/exports the averaged weights. The EMA tree is donated so the
+    update runs in place (one extra read+write of the param bytes per step).
+    """
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def update(ema, params):
+        return jax.tree.map(
+            lambda e, p: decay * e + (1.0 - decay) * p.astype(e.dtype), ema, params
+        )
+
+    return update
+
+
 def make_eval_step(model):
     """Jitted eval step returning f32 softmax probs (reference computes
     softmax then argmax/threshold on host, orchestrator.py:589-607)."""
