@@ -42,6 +42,7 @@ def bench_eval(
     img_size: int = 224,
     model_kwargs: dict | None = None,
     int8: bool = False,
+    compiler_options: dict | None = None,
 ) -> float:
     import contextlib
 
@@ -85,11 +86,21 @@ def bench_eval(
 
     base = jnp.ones((batch, img_size, img_size, 3), jnp.bfloat16)
     with quant_scope:  # ctx is read at trace time, so it must span the compile
-        float(loop(params, batch_stats, base, jnp.int32(0), steps))  # compile + warm
+        if compiler_options:
+            # AOT path: compiler_options travel inside CompileOptions, so
+            # they reach the compiler even through the axon relay (where
+            # env XLA_FLAGS may not); static arg n is baked by lower()
+            run = loop.lower(
+                params, batch_stats, base, jnp.int32(0), steps
+            ).compile(compiler_options=compiler_options)
+            call = lambda seed: run(params, batch_stats, base, seed)  # noqa: E731
+        else:
+            call = lambda seed: loop(params, batch_stats, base, seed, steps)  # noqa: E731
+        float(call(jnp.int32(0)))  # compile + warm
         best = 0.0
         for trial in range(3):
             t0 = time.perf_counter()
-            float(loop(params, batch_stats, base, jnp.int32(100 + trial), steps))
+            float(call(jnp.int32(100 + trial)))
             dt = time.perf_counter() - t0
             best = max(best, batch * steps / dt)
     return best
@@ -101,6 +112,7 @@ def bench_train(
     steps: int = 10,
     img_size: int = 224,
     model_kwargs: dict | None = None,
+    compiler_options: dict | None = None,
 ) -> float:
     """Train-step throughput (fwd+bwd+AdamW update), on-device scan loop."""
     from deepfakedetection_tpu.registry import get_model_spec
@@ -139,12 +151,25 @@ def bench_train(
         st, losses = jax.lax.scan(body, state, jnp.arange(n))
         return st, losses[-1]
 
-    state, loss = loop(state, jnp.int32(0), steps)  # compile
+    if compiler_options is None:
+        # measure the adopted train path: the trainer's jit applies these
+        # same options (train/steps.py train_compiler_options)
+        from deepfakedetection_tpu.train.steps import train_compiler_options
+
+        compiler_options = train_compiler_options()
+    if compiler_options:
+        run = loop.lower(state, jnp.int32(0), steps).compile(
+            compiler_options=compiler_options
+        )
+        call = lambda st, seed: run(st, seed)  # noqa: E731
+    else:
+        call = lambda st, seed: loop(st, seed, steps)  # noqa: E731
+    state, loss = call(state, jnp.int32(0))  # compile
     float(loss)
     best = 0.0
     for trial in range(2):
         t0 = time.perf_counter()
-        state, loss = loop(state, jnp.int32(7 + trial), steps)
+        state, loss = call(state, jnp.int32(7 + trial))
         float(loss)
         dt = time.perf_counter() - t0
         best = max(best, batch * steps / dt)
@@ -172,6 +197,12 @@ def main() -> None:
         "--int8", action="store_true",
         help="int8-quantized eval path (ops/quant.py; eval mode only)",
     )
+    parser.add_argument(
+        "--compiler-option", action="append", default=[], metavar="KEY=VAL",
+        help="XLA compiler override (repeatable), e.g. "
+             "--compiler-option xla_tpu_scoped_vmem_limit_kib=65536; "
+             "passed via CompileOptions so it survives the relay transport",
+    )
     args = parser.parse_args()
     if args.int8 and args.mode == "train":
         parser.error("--int8 is an eval-only path (training stays bf16)")
@@ -179,6 +210,18 @@ def main() -> None:
     suffix = "_official" if args.official else ""
     if args.int8:
         suffix += "_int8"
+    def _coerce(v: str):
+        if v.lower() in ("true", "false"):
+            return v.lower() == "true"
+        try:
+            return int(v)
+        except ValueError:
+            return v
+
+    copts = {
+        k: _coerce(v)
+        for k, v in (kv.split("=", 1) for kv in args.compiler_option)
+    } or None
 
     if args.mode == "train":
         # default batch (eval sweet spot 128) is also the train default;
@@ -186,13 +229,14 @@ def main() -> None:
         # capacity question for train too)
         img_s = bench_train(
             args.model, args.batch, max(args.steps // 3, 5),
-            model_kwargs=kwargs,
+            model_kwargs=kwargs, compiler_options=copts,
         )
         metric = f"train_throughput_224px_{args.model}{suffix}"
         baseline = TRAIN_BASELINE_IMG_S
     else:
         img_s = bench_eval(
-            args.model, args.batch, args.steps, model_kwargs=kwargs, int8=args.int8
+            args.model, args.batch, args.steps, model_kwargs=kwargs,
+            int8=args.int8, compiler_options=copts,
         )
         metric = f"eval_throughput_224px_{args.model}{suffix}"
         baseline = BASELINE_IMG_S

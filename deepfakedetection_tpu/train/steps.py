@@ -94,10 +94,38 @@ def make_train_step_fn(model, tx, *, label_smoothing: float = 0.1, remat: bool =
     return train_step
 
 
+def train_compiler_options() -> dict | None:
+    """XLA overrides for the train step (TPU only; None elsewhere).
+
+    Measured on v5e (docs/BENCHMARKS.md ledger): a 32 MiB scoped-VMEM
+    budget lets XLA build larger backward fusions in the conv/BN-heavy
+    steps — B3 train 2,153 → 2,225 img/s (+3.4%); EFv2 and official
+    FasterViT neutral (same-day A/Bs); 64 MiB regresses. Eval keeps the
+    compiler default (measured neutral-to-negative).
+    ``DFD_TRAIN_SCOPED_VMEM_KIB`` overrides the budget (0 disables).
+    """
+    import os
+
+    raw = os.environ.get("DFD_TRAIN_SCOPED_VMEM_KIB", "32768")
+    try:
+        kib = int(raw)
+    except ValueError as exc:
+        raise ValueError(
+            f"DFD_TRAIN_SCOPED_VMEM_KIB must be an integer, got {raw!r}"
+        ) from exc
+    if kib <= 0:
+        return None
+    # the option only exists in the TPU compiler; CPU (tests) and GPU
+    # backends hard-reject unknown compile options
+    if jax.default_backend() not in ("tpu", "axon"):
+        return None
+    return {"xla_tpu_scoped_vmem_limit_kib": kib}
+
+
 def make_train_step(model, tx, *, label_smoothing: float = 0.1, remat: bool = False):
     """Build the donated, jitted train step for one phase."""
     step = make_train_step_fn(model, tx, label_smoothing=label_smoothing, remat=remat)
-    return functools.partial(jax.jit, donate_argnums=(0,))(step)
+    return jax.jit(step, donate_argnums=(0,), compiler_options=train_compiler_options())
 
 
 def recalibrate_bn(model, params, batch_stats, batch_iter, key):
