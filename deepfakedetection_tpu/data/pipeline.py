@@ -60,6 +60,7 @@ class Loader:
         num_workers: int = 0,
         use_native: bool | None = None,
         cache_decoded: bool = False,
+        lookahead: int = 1,
     ) -> None:
         self.dataset = dataset
         self.plan = plan
@@ -68,6 +69,10 @@ class Loader:
         self.drop_last = drop_last
         self.seed = 0 if seed is None else int(seed)
         self.num_workers = int(num_workers)
+        # batches decoded ahead of the consumer (≥1). Deeper lookahead keeps
+        # decode running through consumer stalls (H2D transfer bursts, the
+        # jit dispatch) at the cost of `lookahead` resident uint8 batches.
+        self.lookahead = max(1, int(lookahead))
         self._epoch = 0
         self._train = isinstance(plan, TrainTransformPlan)
         self._target = plan.host_canvas_size if self._train else plan.img_size
@@ -239,14 +244,22 @@ class Loader:
             chunks.append(order[n_full * B :])
         if not chunks:
             return
-        # one-batch lookahead: decode batch i+1 while the caller consumes i
-        with ThreadPoolExecutor(max_workers=1) as ahead:
-            fut = ahead.submit(self._decode_indices, chunks[0])
-            for nxt in chunks[1:]:
-                current = fut.result()
-                fut = ahead.submit(self._decode_indices, nxt)
+        # k-batch lookahead: up to `lookahead` batches decode while the
+        # caller consumes the current one (row-level parallelism within each
+        # batch comes from the shared _decode_pool)
+        from collections import deque
+
+        with ThreadPoolExecutor(max_workers=self.lookahead) as ahead:
+            pending: deque = deque(
+                ahead.submit(self._decode_indices, c)
+                for c in chunks[: self.lookahead]
+            )
+            for nxt in chunks[self.lookahead:]:
+                current = pending.popleft().result()
+                pending.append(ahead.submit(self._decode_indices, nxt))
                 yield current
-            yield fut.result()
+            while pending:
+                yield pending.popleft().result()
 
 
 def make_train_loader(
@@ -275,14 +288,18 @@ def make_eval_loader(
     num_workers: int = 0,
     use_native: bool | None = None,
     cache_decoded: bool = False,
+    lookahead: int = 2,
 ) -> Loader:
     """Deterministic-order loader; final batch zero-padded with a mask.
 
     PIL decode by default for bit-parity with the reference's eval pixels;
     set ``DFD_NATIVE_EVAL=1`` to opt into the native decoder (sub-1-LSB mean
-    differences from resampling-filter details)."""
+    differences from resampling-filter details). ``lookahead=2`` by default:
+    eval consumption is bursty (H2D transfer then jit dispatch), and a
+    second staged batch keeps decode running through the bursts (measured
+    on the E2E loop — docs/BENCHMARKS.md)."""
     return Loader(
         dataset, plan, batch_size=batch_size, shuffle=False, drop_last=False,
         num_workers=num_workers, use_native=use_native,
-        cache_decoded=cache_decoded,
+        cache_decoded=cache_decoded, lookahead=lookahead,
     )

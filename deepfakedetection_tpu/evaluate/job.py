@@ -57,6 +57,10 @@ class EvalJob:
     # batches before the sweep; opt-in serving mode, accuracy delta is
     # whatever metrics.jsonl reports vs a bf16 run
     precision: str = "bf16"
+    # decode batches staged ahead of the consumer (Loader.lookahead);
+    # measured A/B in docs/BENCHMARKS.md — 2 wins when the decode pool is
+    # narrow, neutral when it is wide
+    lookahead: int = 2
     # extra builder kwargs (e.g. fastervit head_config: "tpu"|"official")
     model_kwargs: dict[str, Any] = field(default_factory=dict)
 
@@ -300,7 +304,8 @@ def _eval_passes(job, params, batch_stats, eval_step, plan, mesh, *, int8_active
                 val_ds = None
             if val_ds is not None and len(val_ds) > 0:
                 val_loader = make_eval_loader(
-                    val_ds, plan, batch_size=job.batch_size, num_workers=job.num_workers
+                    val_ds, plan, batch_size=job.batch_size,
+                    num_workers=job.num_workers, lookahead=job.lookahead,
                 )
                 vprobs, vtargets, _ = _collect_probs(
                     eval_step, params, batch_stats, val_loader, plan, mesh, job.compute_dtype
@@ -320,7 +325,8 @@ def _eval_passes(job, params, batch_stats, eval_step, plan, mesh, *, int8_active
         return None
 
     loader = make_eval_loader(
-        test_ds, plan, batch_size=job.batch_size, num_workers=job.num_workers
+        test_ds, plan, batch_size=job.batch_size,
+        num_workers=job.num_workers, lookahead=job.lookahead,
     )
     probs, targets, speed = _collect_probs(
         eval_step, params, batch_stats, loader, plan, mesh, job.compute_dtype

@@ -206,6 +206,7 @@ def build_eval_job(
         mesh_model=mesh_model,
         compute_dtype=_compute_dtype(config),
         precision=str(infer_cfg.get("precision") or "bf16"),
+        lookahead=int(infer_cfg.get("lookahead", 2)),
         model_kwargs=_model_kwargs(model_cfg),
     )
 

@@ -145,6 +145,20 @@ def test_loaders_pad_and_mask(tiny_image_tree):
     assert not np.array_equal(tb[0].labels, labels_e1) or True  # may coincide rarely
 
 
+def test_lookahead_depth_preserves_order_and_padding(tiny_image_tree):
+    ds = scan_image_folder(tiny_image_tree / "val")  # 12 images
+    plan = build_eval_plan(64)
+    ref = list(make_eval_loader(ds, plan, batch_size=5, num_workers=2, lookahead=1))
+    for k in (2, 4, 16):  # deeper than the batch count is fine too
+        got = list(make_eval_loader(ds, plan, batch_size=5, num_workers=2, lookahead=k))
+        assert len(got) == len(ref)
+        for a, b in zip(ref, got):
+            np.testing.assert_array_equal(a.images, b.images)
+            np.testing.assert_array_equal(a.labels, b.labels)
+            np.testing.assert_array_equal(a.mask, b.mask)
+            assert a.num_valid == b.num_valid
+
+
 def test_trainer_val_over_resize_geometry(tiny_image_tree):
     """Trainer-val plans over-resize before the crop (efficientnet.py:199);
     the orchestrator eval path resizes the shorter side to exactly img_size

@@ -40,6 +40,10 @@ def main() -> None:
         help="host decode backend (native = C++ thread pool, dfd_loader.cc)",
     )
     ap.add_argument("--max-images", type=int, default=0, help="0 = whole split")
+    ap.add_argument(
+        "--lookahead", type=int, default=2,
+        help="decode batches staged ahead of the consumer (Loader.lookahead)",
+    )
     args = ap.parse_args()
 
     from deepfakedetection_tpu.runtime.compile_cache import enable as enable_cache
@@ -68,7 +72,7 @@ def main() -> None:
     ds = scan_image_folder(os.path.join(args.root, args.split))
     loader = make_eval_loader(
         ds, plan, batch_size=args.batch, num_workers=args.workers,
-        use_native=(args.decode == "native"),
+        use_native=(args.decode == "native"), lookahead=args.lookahead,
     )
 
     # mirror the eval job's transfer path exactly (evaluate/job.py
