@@ -280,7 +280,7 @@ def _run_training(job: TrainJob) -> TrainResult:
                 speed = advance(num_valid)
         mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
         console.print(f"  {desc}: loss={mean_loss:.4f} | {speed:.1f} img/s")
-        return state, mean_loss
+        return state, mean_loss, speed
 
     eval_step = make_eval_step(model)
     eval_loader = make_eval_loader(
@@ -371,7 +371,7 @@ def _run_training(job: TrainJob) -> TrainResult:
         for we in range(warmup_epochs):
             wu_loader.set_epoch(we)
             wu_key = jax.random.fold_in(key, 10_000 + we)
-            wu_state, _ = train_one_epoch(
+            wu_state, _, _ = train_one_epoch(
                 wu_step, wu_state, wu_loader, wu_key, f"warmup {we + 1}/{warmup_epochs}"
             )
         acc, _ = evaluate(
@@ -445,7 +445,7 @@ def _run_training(job: TrainJob) -> TrainResult:
     for epoch in range(start_epoch, epochs):
         ft_loader.set_epoch(epoch)
         epoch_key = jax.random.fold_in(key, 20_000 + epoch)
-        ft_state, final_loss = train_one_epoch(
+        ft_state, final_loss, train_speed = train_one_epoch(
             ft_step, ft_state, ft_loader, epoch_key,
             f"epoch {epoch + 1}/{epochs}", on_step=on_step,
         )
@@ -493,6 +493,7 @@ def _run_training(job: TrainJob) -> TrainResult:
                 "split": "val",
                 "epoch": epoch + 1,
                 "train_loss": round(final_loss, 6),
+                "train_img_s": round(train_speed, 1),
                 "accuracy": acc,
                 "best": improved,
                 "timestamp": datetime.now().isoformat(),
