@@ -113,8 +113,13 @@ def bench_train(
     img_size: int = 224,
     model_kwargs: dict | None = None,
     compiler_options: dict | None = None,
+    ema_decay: float | None = None,
 ) -> float:
-    """Train-step throughput (fwd+bwd+AdamW update), on-device scan loop."""
+    """Train-step throughput (fwd+bwd+AdamW update), on-device scan loop.
+
+    ``ema_decay`` measures the weight-EMA training mode's device cost by
+    folding the per-step EMA update into the scan (the trainer runs it as a
+    separate jit per step — same HBM traffic, this excludes its dispatch)."""
     from deepfakedetection_tpu.registry import get_model_spec
     from deepfakedetection_tpu.train.optim import make_phase_optimizer
     from deepfakedetection_tpu.train.steps import (
@@ -141,11 +146,22 @@ def bench_train(
     mask = jnp.ones((batch,), bool)
     key = jax.random.key(1)
 
+    if ema_decay:
+        state = (state, jax.tree.map(jnp.copy, params))
+
     @functools.partial(jax.jit, static_argnames=("n",), donate_argnums=(0,))
     def loop(state, seed, n):
         def body(st, i):
+            if ema_decay:
+                st, ema = st
             x = base + (seed + i).astype(jnp.bfloat16) * 1e-6
             st, metrics = step_fn(st, x, labels, mask, key)
+            if ema_decay:
+                ema = jax.tree.map(
+                    lambda e, p: ema_decay * e + (1.0 - ema_decay) * p.astype(e.dtype),
+                    ema, st.params,
+                )
+                st = (st, ema)
             return st, metrics["loss"]
 
         st, losses = jax.lax.scan(body, state, jnp.arange(n))
@@ -203,9 +219,15 @@ def main() -> None:
              "--compiler-option xla_tpu_scoped_vmem_limit_kib=65536; "
              "passed via CompileOptions so it survives the relay transport",
     )
+    parser.add_argument(
+        "--ema", type=float, default=None, metavar="DECAY",
+        help="measure the weight-EMA training mode (training.ema_decay)",
+    )
     args = parser.parse_args()
     if args.int8 and args.mode == "train":
         parser.error("--int8 is an eval-only path (training stays bf16)")
+    if args.ema is not None and args.mode != "train":
+        parser.error("--ema measures the training mode (use --mode train)")
     kwargs = {"head_config": "official"} if args.official else {}
     suffix = "_official" if args.official else ""
     if args.int8:
@@ -229,8 +251,10 @@ def main() -> None:
         # capacity question for train too)
         img_s = bench_train(
             args.model, args.batch, max(args.steps // 3, 5),
-            model_kwargs=kwargs, compiler_options=copts,
+            model_kwargs=kwargs, compiler_options=copts, ema_decay=args.ema,
         )
+        if args.ema:
+            suffix += "_ema"
         metric = f"train_throughput_224px_{args.model}{suffix}"
         baseline = TRAIN_BASELINE_IMG_S
     else:

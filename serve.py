@@ -204,6 +204,27 @@ class ServeState:
                 return m
         return None
 
+    def warmup(self, mode: str = "first") -> None:
+        """Pre-compile batch buckets so requests never pay a jit compile.
+
+        ``first`` compiles the batch-1 bucket per model (the cold-start
+        path); ``all`` compiles every power-of-two bucket up to max_batch
+        (log2(max_batch)+1 compiles — worth it for steady high-QPS
+        services); ``none`` skips.
+        """
+        if mode == "none":
+            return
+        for m in self.models:
+            size = m.plan.img_size
+            buckets = [1]
+            if mode == "all":
+                b = 2
+                while b <= m.batcher.max_batch:
+                    buckets.append(b)
+                    b *= 2
+            for n in buckets:
+                m.batcher.runner(np.zeros((n, size, size, 3), np.uint8))
+
 
 def build_state(
     config_path: Path,
@@ -397,17 +418,26 @@ def main() -> None:
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--max-batch", type=int, default=32)
     parser.add_argument("--max-wait-ms", type=float, default=5.0)
+    parser.add_argument(
+        "--warmup", choices=["none", "first", "all"], default="first",
+        help="pre-compile batch buckets at startup (first = batch-1 only)",
+    )
     args = parser.parse_args()
 
     from deepfakedetection_tpu.runtime.compile_cache import enable as enable_cache
 
     enable_cache()
+    state = build_state(
+        args.config, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms
+    )
+    state.warmup(args.warmup)
     server = build_server(
         args.config,
         host=args.host,
         port=args.port,
         max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms,
+        state=state,
     )
     host, port = server.server_address[:2]
     print(f"[serve] listening on http://{host}:{port} "

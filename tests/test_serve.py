@@ -98,6 +98,14 @@ def _jpeg_bytes(value: int = 128) -> bytes:
     return buf.getvalue()
 
 
+def test_warmup_compiles_buckets(serve_state):
+    # exercises every bucket runner path; stats must not count warmups
+    serve_state.warmup("all")
+    stats = serve_state.models[0].batcher.stats()
+    assert stats["requests"] == 0
+    serve_state.warmup("none")  # no-op
+
+
 def test_predict_once_shapes_and_labels(serve_state):
     img = Image.open(io.BytesIO(_jpeg_bytes()))
     results = serve.predict_once(serve_state, img)
