@@ -69,12 +69,21 @@ class TrainingConfig(BaseModel):
     # TPU extension: exponential moving average of the fine-tune weights
     # (None = off = reference behavior); see train/loop.py TrainJob.ema_decay
     ema_decay: float | None = None
+    # TPU extension: global-norm gradient clipping (None = off = reference)
+    grad_clip_norm: float | None = None
 
     @field_validator("ema_decay")
     @classmethod
     def _ema_decay_in_unit_interval(cls, value: float | None) -> float | None:
         if value is not None and not (0.0 < value < 1.0):
             raise ValueError(f"ema_decay must be in (0, 1), got {value}")
+        return value
+
+    @field_validator("grad_clip_norm")
+    @classmethod
+    def _grad_clip_norm_positive(cls, value: float | None) -> float | None:
+        if value is not None and not value > 0.0:
+            raise ValueError(f"grad_clip_norm must be > 0, got {value}")
         return value
 
 

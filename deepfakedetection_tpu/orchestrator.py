@@ -147,6 +147,11 @@ def build_train_job(
             if train_cfg.get("ema_decay") is not None
             else None
         ),
+        grad_clip_norm=(
+            float(train_cfg["grad_clip_norm"])
+            if train_cfg.get("grad_clip_norm") is not None
+            else None
+        ),
         train_toggles=resolve_transform_mapping(model_cfg, "train"),
         eval_toggles=resolve_transform_mapping(model_cfg, "eval"),
         mesh_data=mesh_data,

@@ -94,6 +94,9 @@ class TrainJob:
     # (the host decode is deterministic; all augmentation randomness is on
     # device). ~canvas²·3 bytes per image. TPU extension, default off.
     cache_decoded: bool = False
+    # global-norm gradient clipping (TPU extension, None = off = reference
+    # behavior; the reference trains unclipped)
+    grad_clip_norm: float | None = None
     # exponential moving average of the fine-tune weights (TPU extension,
     # default off = reference behavior). When set (e.g. 0.999), validation,
     # best-model selection, and the exported ``.pth`` use the averaged
@@ -300,6 +303,7 @@ def _run_training(job: TrainJob) -> TrainResult:
         lr=epoch_cosine_schedule(ft_lr, epochs, steps_per_epoch),
         weight_decay=ft_wd,
         trainable=unfreeze_predicate(recipe.unfreeze),
+        grad_clip_norm=job.grad_clip_norm,
     )
     ft_state = TrainState(
         params=params,
@@ -350,6 +354,7 @@ def _run_training(job: TrainJob) -> TrainResult:
             lr=recipe.warmup_lr,
             weight_decay=recipe.warmup_weight_decay,
             trainable=head_predicate(recipe.head_param_substrings),
+            grad_clip_norm=job.grad_clip_norm,
         )
         console.print(
             f"  warmup: {warmup_epochs} epoch(s), head-only "

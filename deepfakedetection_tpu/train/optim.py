@@ -91,6 +91,7 @@ def make_phase_optimizer(
     weight_decay: float,
     trainable: Callable[[str], bool],
     accum_steps: int = 1,
+    grad_clip_norm: float | None = None,
 ) -> tuple[optax.GradientTransformation, int, int]:
     """AdamW over params selected by ``trainable``; others get zero updates.
 
@@ -98,12 +99,18 @@ def make_phase_optimizer(
     wraps in optax.MultiSteps (micro-batch gradient accumulation; the
     reference divides loss by accum_steps and steps every Nth micro-batch,
     efficientnet.py:296-331 — MultiSteps averages, same effective update).
+    ``grad_clip_norm`` prepends global-norm clipping (TPU extension, off by
+    default = reference behavior; the reference has no clipping).
     """
     labels, n_train, n_total = trainable_labels(params, trainable)
     adamw = optax.adamw(learning_rate=lr, weight_decay=weight_decay)
     tx = optax.multi_transform(
         {"train": adamw, "freeze": optax.set_to_zero()}, labels
     )
+    if grad_clip_norm is not None:
+        # clip BEFORE the freeze partition (the norm is over the full grad
+        # tree; frozen leaves are zeroed afterwards anyway)
+        tx = optax.chain(optax.clip_by_global_norm(float(grad_clip_norm)), tx)
     if accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum_steps).gradient_transformation()
     return tx, n_train, n_total
