@@ -131,6 +131,40 @@ def test_threshold_overrides_argmax(serve_state):
     assert r["class_index"] == 0
 
 
+def test_multi_model_fanout_and_filter(tmp_path, monkeypatch):
+    cfg = {
+        "data": {"root": str(tmp_path / "data"), "num_classes": 2, "img_size": 32},
+        "models": {
+            "efficientnet_b3": {"output_dir": str(tmp_path / "runs/a")},
+            "efficientformerv2_s1": {"output_dir": str(tmp_path / "runs/b")},
+        },
+    }
+    p = tmp_path / "cfg.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+
+    import deepfakedetection_tpu.orchestrator as orchestrator
+
+    spec = tiny_spec()
+    monkeypatch.setattr(orchestrator, "get_model_spec", lambda name: spec)
+    monkeypatch.chdir(tmp_path)
+    state = serve.build_state(p, max_batch=4, max_wait_ms=2.0)
+    # yaml.safe_dump sorts keys; selection defaults to the models order
+    assert sorted(m.name for m in state.models) == [
+        "efficientformerv2_s1", "efficientnet_b3",
+    ]
+    img = Image.open(io.BytesIO(_jpeg_bytes()))
+    results = serve.predict_once(state, img)
+    assert sorted(r["model"] for r in results) == [
+        "efficientformerv2_s1", "efficientnet_b3",
+    ]
+    only = serve.predict_once(state, img, only="efficientformerv2_s1")
+    assert len(only) == 1 and only[0]["model"] == "efficientformerv2_s1"
+    with pytest.raises(KeyError):
+        serve.predict_once(state, img, only="nope")
+    for m in state.models:
+        m.batcher.stop()
+
+
 def test_http_endpoints_and_concurrent_batching(serve_state, tmp_path):
     server = serve.build_server(tmp_path / "unused.yaml", port=0, state=serve_state)
     thread = threading.Thread(target=server.serve_forever, daemon=True)
