@@ -420,7 +420,9 @@ def _run_training(job: TrainJob) -> TrainResult:
         console.print(f"  weight EMA: decay={job.ema_decay}")
 
         def on_step(state):  # noqa: F811 — deliberate rebind from None
-            ema_box["ema"] = ema_update(ema_box["ema"], state.params)
+            # state.step counts optimizer steps within the phase and resumes
+            # from the checkpoint, so the decay warmup ramp is resume-safe
+            ema_box["ema"] = ema_update(ema_box["ema"], state.params, state.step)
 
     # reconstruct the early-stop window on resume, matching the reference's
     # semantics (trainers/efficientnet.py:506): a resumed stalled run must

@@ -200,20 +200,32 @@ def recalibrate_bn(model, params, batch_stats, batch_iter, key):
     return _correct(avg_dict, sq_dict)
 
 
-def make_ema_update(decay: float):
+def make_ema_update(decay: float, *, warmup: bool = True):
     """Jitted exponential-moving-average update of a param tree.
 
     TPU-framework training extension (absent from the reference): when
     ``training.ema_decay`` is set, the trainer maintains
-    ``ema = decay*ema + (1-decay)*params`` after every optimizer step and
+    ``ema = d*ema + (1-d)*params`` after every optimizer step and
     evaluates/exports the averaged weights. The EMA tree is donated so the
     update runs in place (one extra read+write of the param bytes per step).
+
+    ``warmup=True`` ramps the effective decay as
+    ``d_t = min(decay, (1+t)/(10+t))`` (the standard timm ModelEMA ramp):
+    without it a production decay like 0.999 keeps the average pinned near
+    its seed for ~1/(1-decay) steps, which silently breaks short fine-tunes
+    — exactly the regime the reference's recipes target.
     """
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def update(ema, params):
+    def update(ema, params, step):
+        d = jnp.asarray(decay, jnp.float32)
+        if warmup:
+            t = step.astype(jnp.float32)
+            d = jnp.minimum(d, (1.0 + t) / (10.0 + t))
         return jax.tree.map(
-            lambda e, p: decay * e + (1.0 - decay) * p.astype(e.dtype), ema, params
+            lambda e, p: (d * e.astype(jnp.float32)
+                          + (1.0 - d) * p.astype(jnp.float32)).astype(e.dtype),
+            ema, params,
         )
 
     return update

@@ -11,23 +11,39 @@ from deepfakedetection_tpu.train.steps import make_ema_update
 from tests.util import tiny_spec
 
 
-def test_ema_update_math():
-    update = make_ema_update(0.75)
+def test_ema_update_math_no_warmup():
+    update = make_ema_update(0.75, warmup=False)
+    step = jnp.asarray(0, jnp.int32)
     ema = {"w": jnp.ones((3,), jnp.float32) * 4.0}
     params = {"w": jnp.zeros((3,), jnp.float32)}
-    ema = update(ema, params)  # 0.75*4 + 0.25*0 = 3
+    ema = update(ema, params, step)  # 0.75*4 + 0.25*0 = 3
     np.testing.assert_allclose(np.asarray(ema["w"]), 3.0)
-    ema = update(ema, {"w": jnp.ones((3,), jnp.float32)})  # 0.75*3 + 0.25
+    ema = update(ema, {"w": jnp.ones((3,), jnp.float32)}, step)  # 0.75*3 + 0.25
     np.testing.assert_allclose(np.asarray(ema["w"]), 2.5)
+
+
+def test_ema_decay_warmup_ramp():
+    # d_t = min(decay, (1+t)/(10+t)): early steps track params closely so a
+    # production decay (0.999) is usable on short fine-tunes
+    update = make_ema_update(0.999)
+    ema = {"w": jnp.zeros((2,), jnp.float32)}
+    params = {"w": jnp.ones((2,), jnp.float32)}
+    out = update(ema, params, jnp.asarray(0, jnp.int32))
+    # t=0: d = 1/10 → ema = 0.9 * params
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.9, rtol=1e-6)
+    out2 = update({"w": jnp.zeros((2,), jnp.float32)}, params,
+                  jnp.asarray(10_000, jnp.int32))
+    # large t: d saturates at decay → ema barely moves
+    np.testing.assert_allclose(np.asarray(out2["w"]), 1.0 - 0.999, rtol=1e-4)
 
 
 def test_ema_update_does_not_alias_live_params():
     # the loop seeds the EMA with an explicit copy; verify the update's
     # donation cannot invalidate a caller-held copy of the same values
-    update = make_ema_update(0.5)
+    update = make_ema_update(0.5, warmup=False)
     params = {"w": jnp.arange(4, dtype=jnp.float32)}
     ema = jax.tree.map(jnp.copy, params)
-    out = update(ema, params)
+    out = update(ema, params, jnp.asarray(3, jnp.int32))
     np.testing.assert_allclose(np.asarray(params["w"]), [0, 1, 2, 3])
     np.testing.assert_allclose(np.asarray(out["w"]), [0, 1, 2, 3])
 
