@@ -204,6 +204,11 @@ class ServeState:
                 return m
         return None
 
+    def close(self) -> None:
+        """Stop every model's batcher thread (drains in-flight batches)."""
+        for m in self.models:
+            m.batcher.stop()
+
     def warmup(self, mode: str = "first") -> None:
         """Pre-compile batch buckets so requests never pay a jit compile.
 
@@ -448,6 +453,7 @@ def main() -> None:
         pass
     finally:
         server.shutdown()
+        state.close()
 
 
 if __name__ == "__main__":
