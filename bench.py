@@ -43,6 +43,7 @@ def bench_eval(
     model_kwargs: dict | None = None,
     int8: bool = False,
     compiler_options: dict | None = None,
+    tta: bool = False,
 ) -> float:
     import contextlib
 
@@ -74,11 +75,16 @@ def bench_eval(
 
     @functools.partial(jax.jit, static_argnames=("n",))
     def loop(params, batch_stats, base, seed, n):
-        def body(carry, i):
-            x = base + (seed + i).astype(jnp.bfloat16) * 1e-6
-            logits = model.apply(
+        def fwd(x):
+            return model.apply(
                 {"params": params, "batch_stats": batch_stats}, x, train=False
             )
+
+        def body(carry, i):
+            x = base + (seed + i).astype(jnp.bfloat16) * 1e-6
+            logits = fwd(x)
+            if tta:  # hflip TTA: second forward over the mirrored batch
+                logits = logits + fwd(x[:, :, ::-1, :])
             return carry + logits.sum(), None
 
         out, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n))
@@ -223,15 +229,22 @@ def main() -> None:
         "--ema", type=float, default=None, metavar="DECAY",
         help="measure the weight-EMA training mode (training.ema_decay)",
     )
+    parser.add_argument(
+        "--tta", action="store_true",
+        help="measure hflip test-time augmentation (inference.tta; eval only)",
+    )
     args = parser.parse_args()
     if args.int8 and args.mode == "train":
         parser.error("--int8 is an eval-only path (training stays bf16)")
     if args.ema is not None and args.mode != "train":
         parser.error("--ema measures the training mode (use --mode train)")
+    if args.tta and args.mode != "eval":
+        parser.error("--tta is an eval-only path")
     kwargs = {"head_config": "official"} if args.official else {}
     suffix = "_official" if args.official else ""
     if args.int8:
         suffix += "_int8"
+
     def _coerce(v: str):
         if v.lower() in ("true", "false"):
             return v.lower() == "true"
@@ -260,8 +273,10 @@ def main() -> None:
     else:
         img_s = bench_eval(
             args.model, args.batch, args.steps, model_kwargs=kwargs,
-            int8=args.int8, compiler_options=copts,
+            int8=args.int8, compiler_options=copts, tta=args.tta,
         )
+        if args.tta:
+            suffix += "_tta"
         metric = f"eval_throughput_224px_{args.model}{suffix}"
         baseline = BASELINE_IMG_S
     print(

@@ -43,6 +43,9 @@ class InferenceConfig(BaseModel):
     # TPU extension: per-model eval numerics — "bf16" (default) or "int8"
     # (calibrated quantized ConvBN path, ops/quant.py; opt-in serving mode)
     precision: str | None = None
+    # TPU extension: test-time augmentation — None (default) or "hflip"
+    # (average softmax probs over the horizontal flip; ~2x eval compute)
+    tta: str | None = None
 
     @field_validator("precision")
     @classmethod
@@ -54,6 +57,13 @@ class InferenceConfig(BaseModel):
             raise ValueError(
                 f"inference.precision must be one of {allowed}, got {value!r}"
             )
+        return value
+
+    @field_validator("tta")
+    @classmethod
+    def _tta_supported(cls, value: str | None) -> str | None:
+        if value is not None and str(value).lower() not in ("hflip",):
+            raise ValueError(f"inference.tta must be 'hflip' or null, got {value!r}")
         return value
 
 

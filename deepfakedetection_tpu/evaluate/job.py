@@ -61,6 +61,9 @@ class EvalJob:
     # measured A/B in docs/BENCHMARKS.md — 2 wins when the decode pool is
     # narrow, neutral when it is wide
     lookahead: int = 2
+    # test-time augmentation: None (reference behavior) or "hflip" —
+    # softmax probs averaged over the horizontal flip (train/steps.py)
+    tta: str | None = None
     # extra builder kwargs (e.g. fastervit head_config: "tpu"|"official")
     model_kwargs: dict[str, Any] = field(default_factory=dict)
 
@@ -281,7 +284,7 @@ def _run_eval_job(job: EvalJob) -> EvalResult | None:
     # batch must divide over the data axis; round up (pad+mask absorbs)
     job.batch_size = -(-job.batch_size // mesh.shape["data"]) * mesh.shape["data"]
     model, params, batch_stats = load_model_for_eval(job)
-    eval_step = make_eval_step(model)
+    eval_step = make_eval_step(model, tta=job.tta)
     plan = build_eval_plan(job.img_size, job.eval_toggles)
 
     scope, int8_active = _calibration_scope(job, model, params, batch_stats, plan, mesh)

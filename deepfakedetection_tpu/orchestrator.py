@@ -212,6 +212,7 @@ def build_eval_job(
         compute_dtype=_compute_dtype(config),
         precision=str(infer_cfg.get("precision") or "bf16"),
         lookahead=int(infer_cfg.get("lookahead", 2)),
+        tta=(str(infer_cfg["tta"]).lower() if infer_cfg.get("tta") else None),
         model_kwargs=_model_kwargs(model_cfg),
     )
 

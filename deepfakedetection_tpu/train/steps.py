@@ -231,16 +231,28 @@ def make_ema_update(decay: float, *, warmup: bool = True):
     return update
 
 
-def make_eval_step(model):
+def make_eval_step(model, tta: str | None = None):
     """Jitted eval step returning f32 softmax probs (reference computes
-    softmax then argmax/threshold on host, orchestrator.py:589-607)."""
+    softmax then argmax/threshold on host, orchestrator.py:589-607).
 
-    @jax.jit
-    def eval_step(params, batch_stats, images):
+    ``tta="hflip"`` (TPU extension, off by default = reference behavior)
+    averages softmax probabilities over the image and its horizontal flip —
+    the classic test-time augmentation; ~2× eval compute for a small
+    accuracy gain. NHWC layout: width is axis 2.
+    """
+
+    def probs_of(params, batch_stats, images):
         logits = model.apply(
             {"params": params, "batch_stats": batch_stats}, images, train=False
         )
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+    @jax.jit
+    def eval_step(params, batch_stats, images):
+        p = probs_of(params, batch_stats, images)
+        if tta == "hflip":
+            p = 0.5 * (p + probs_of(params, batch_stats, images[:, :, ::-1, :]))
+        return p
 
     return eval_step
 
