@@ -81,6 +81,16 @@ class TrainingConfig(BaseModel):
     ema_decay: float | None = None
     # TPU extension: global-norm gradient clipping (None = off = reference)
     grad_clip_norm: float | None = None
+    # TPU extension: Mixup/CutMix batch mixing (0 = off = reference)
+    mixup_alpha: float = 0.0
+    cutmix_alpha: float = 0.0
+
+    @field_validator("mixup_alpha", "cutmix_alpha")
+    @classmethod
+    def _mix_alpha_non_negative(cls, value: float) -> float:
+        if value < 0.0:
+            raise ValueError(f"mixup/cutmix alpha must be >= 0, got {value}")
+        return value
 
     @field_validator("ema_decay")
     @classmethod

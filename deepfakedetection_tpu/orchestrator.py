@@ -152,6 +152,8 @@ def build_train_job(
             if train_cfg.get("grad_clip_norm") is not None
             else None
         ),
+        mixup_alpha=float(train_cfg.get("mixup_alpha", 0.0) or 0.0),
+        cutmix_alpha=float(train_cfg.get("cutmix_alpha", 0.0) or 0.0),
         train_toggles=resolve_transform_mapping(model_cfg, "train"),
         eval_toggles=resolve_transform_mapping(model_cfg, "eval"),
         mesh_data=mesh_data,

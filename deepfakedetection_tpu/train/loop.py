@@ -97,6 +97,10 @@ class TrainJob:
     # global-norm gradient clipping (TPU extension, None = off = reference
     # behavior; the reference trains unclipped)
     grad_clip_norm: float | None = None
+    # Mixup/CutMix batch mixing for the fine-tune phase (TPU extension,
+    # 0 = off = reference behavior); see train/mixup.py for semantics
+    mixup_alpha: float = 0.0
+    cutmix_alpha: float = 0.0
     # exponential moving average of the fine-tune weights (TPU extension,
     # default off = reference behavior). When set (e.g. 0.999), validation,
     # best-model selection, and the exported ``.pth`` use the averaged
@@ -395,8 +399,19 @@ def _run_training(job: TrainJob) -> TrainResult:
         f"(micro {micro} × accum {accum}) lr={ft_lr} "
         f"trainable={n_train}/{n_total} tensors"
     )
+    mixup_spec = None
+    if job.mixup_alpha > 0.0 or job.cutmix_alpha > 0.0:
+        from deepfakedetection_tpu.train.mixup import MixupSpec
+
+        mixup_spec = MixupSpec(
+            mixup_alpha=job.mixup_alpha, cutmix_alpha=job.cutmix_alpha
+        )
+        console.print(
+            f"  mixup: alpha={job.mixup_alpha} cutmix={job.cutmix_alpha}"
+        )
     ft_step = make_train_step(
-        model, ft_tx, label_smoothing=recipe.label_smoothing, remat=job.remat
+        model, ft_tx, label_smoothing=recipe.label_smoothing, remat=job.remat,
+        mixup=mixup_spec,
     )
     ft_loader = make_train_loader(
         train_ds, train_plan, batch_size=ft_batch, seed=job.seed,

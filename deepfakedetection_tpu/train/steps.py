@@ -45,17 +45,30 @@ def init_model_variables(model, rng, input_shape: tuple[int, ...]):
     return params, batch_stats
 
 
-def make_train_step_fn(model, tx, *, label_smoothing: float = 0.1, remat: bool = False):
+def make_train_step_fn(
+    model, tx, *, label_smoothing: float = 0.1, remat: bool = False, mixup=None
+):
     """The raw (unjitted) train step — reusable inside lax.scan (bench).
 
     ``remat=True`` wraps the forward in jax.checkpoint: activations are
     recomputed in the backward pass, trading ~30% step FLOPs for activation
     memory (lets much larger per-chip batches fit HBM).
+
+    ``mixup`` (a train.mixup.MixupSpec, TPU extension, off by default) mixes
+    each batch with its roll-by-one partner on device; the loss becomes
+    ``lam*CE(y) + (1-lam)*CE(roll(y))``.
     """
+    mix_enabled = mixup is not None and mixup.enabled
 
     def train_step(state: TrainState, images, labels, mask, key):
         step_key = jax.random.fold_in(key, state.step)
         k_drop, k_path = jax.random.split(step_key)
+        if mix_enabled:
+            from deepfakedetection_tpu.train.mixup import mix_batch
+
+            k_mix = jax.random.fold_in(step_key, 0x303)  # distinct PRNG domain
+            images, lam = mix_batch(k_mix, images, mixup)
+            labels_b = jnp.roll(labels, shift=1, axis=0)
 
         def forward(params, images):
             return model.apply(
@@ -74,6 +87,11 @@ def make_train_step_fn(model, tx, *, label_smoothing: float = 0.1, remat: bool =
             loss = smoothed_cross_entropy(
                 outputs, labels, mask, label_smoothing=label_smoothing
             )
+            if mix_enabled:
+                loss_b = smoothed_cross_entropy(
+                    outputs, labels_b, mask, label_smoothing=label_smoothing
+                )
+                loss = lam * loss + (1.0 - lam) * loss_b
             return loss, (mutated["batch_stats"], outputs)
 
         (loss, (new_stats, logits)), grads = jax.value_and_grad(
@@ -122,9 +140,13 @@ def train_compiler_options() -> dict | None:
     return {"xla_tpu_scoped_vmem_limit_kib": kib}
 
 
-def make_train_step(model, tx, *, label_smoothing: float = 0.1, remat: bool = False):
+def make_train_step(
+    model, tx, *, label_smoothing: float = 0.1, remat: bool = False, mixup=None
+):
     """Build the donated, jitted train step for one phase."""
-    step = make_train_step_fn(model, tx, label_smoothing=label_smoothing, remat=remat)
+    step = make_train_step_fn(
+        model, tx, label_smoothing=label_smoothing, remat=remat, mixup=mixup
+    )
     return jax.jit(step, donate_argnums=(0,), compiler_options=train_compiler_options())
 
 
