@@ -265,7 +265,7 @@ def build_state(
         toggles = resolve_transform_mapping(model_cfg, phase="eval")
         plan = build_eval_plan(job.img_size, toggles)
         model, params, batch_stats = load_model_for_eval(job)
-        eval_step = make_eval_step(model)
+        eval_step = make_eval_step(model, tta=job.tta)
 
         def runner(
             batch_u8: np.ndarray,

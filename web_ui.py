@@ -102,7 +102,7 @@ def initialize_from_config(config_path: Path) -> None:
                 model=model,
                 params=params,
                 batch_stats=batch_stats,
-                eval_step=make_eval_step(model),
+                eval_step=make_eval_step(model, tta=job.tta),
                 plan=plan,
             )
         )
