@@ -46,6 +46,25 @@ class InferenceConfig(BaseModel):
     # TPU extension: test-time augmentation — None (default) or "hflip"
     # (average softmax probs over the horizontal flip; ~2x eval compute)
     tta: str | None = None
+    # TPU extension (serve.py): binary decision threshold — a float in
+    # [0, 1], or "auto" to read the newest eval sweep's choice from the
+    # model's run dirs. Ignored by the batch-eval job (which sweeps).
+    threshold: float | str | None = None
+
+    @field_validator("threshold")
+    @classmethod
+    def _threshold_valid(cls, value):
+        if value is None:
+            return value
+        if isinstance(value, str):
+            if value.lower() != "auto":
+                raise ValueError(
+                    f"inference.threshold must be a float in [0,1] or 'auto', got {value!r}"
+                )
+            return value.lower()
+        if not 0.0 <= float(value) <= 1.0:
+            raise ValueError(f"inference.threshold must be in [0,1], got {value}")
+        return float(value)
 
     @field_validator("precision")
     @classmethod

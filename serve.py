@@ -231,6 +231,32 @@ class ServeState:
                 m.batcher.runner(np.zeros((n, size, size, 3), np.uint8))
 
 
+def latest_sweep_threshold(output_dir: Path) -> float | None:
+    """Newest decision threshold the eval job's sweep logged for this model.
+
+    Scans ``<output_dir>/*/logs/metrics.jsonl`` (the run-dir layout) for the
+    most recent record carrying a ``threshold`` field — the value the
+    501-point balanced-accuracy sweep selected (reference semantics:
+    orchestrator.py:513-546, 632-633).
+    """
+    best: tuple[str, float] | None = None
+    for metrics_file in sorted(Path(output_dir).glob("*/logs/metrics.jsonl")):
+        try:
+            lines = metrics_file.read_text().splitlines()
+        except OSError:
+            continue
+        for line in lines:
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "threshold" in rec and rec["threshold"] is not None:
+                stamp = str(rec.get("timestamp", ""))
+                if best is None or stamp >= best[0]:
+                    best = (stamp, float(rec["threshold"]))
+    return best[1] if best else None
+
+
 def build_state(
     config_path: Path,
     *,
@@ -280,6 +306,15 @@ def build_state(
 
         infer_cfg = model_cfg.get("inference") or {}
         thr = infer_cfg.get("threshold")
+        if isinstance(thr, str) and thr.lower() == "auto":
+            thr = latest_sweep_threshold(
+                Path(model_cfg.get("output_dir") or f"runs/{model_name}")
+            )
+            print(
+                f"[serve] {model_name}: threshold "
+                + (f"{thr:.4f} (from latest eval sweep)" if thr is not None
+                   else "auto requested but no sweep record found — using argmax")
+            )
         served.append(
             ServedModel(
                 name=model_name,

@@ -51,6 +51,27 @@ def test_microbatcher_coalesces_and_pads():
     mb.stop()
 
 
+def test_microbatcher_concurrent_stress():
+    # 64 submissions from 16 threads over several rounds: every future must
+    # resolve with its own echo (no deadlock, no cross-wiring)
+    def runner(batch: np.ndarray) -> np.ndarray:
+        time.sleep(0.002)  # make coalescing windows overlap
+        return np.stack([np.full((2,), a.mean(), np.float32) for a in batch])
+
+    mb = MicroBatcher(runner, max_batch=8, max_wait_ms=3.0, name="stress")
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        def submit_and_wait(i: int) -> float:
+            fut = mb.submit(np.full((2, 2, 3), i % 251, np.uint8))
+            return float(fut.result(timeout=30)[0])
+
+        results = list(ex.map(submit_and_wait, range(64)))
+    assert results == [float(i % 251) for i in range(64)]
+    stats = mb.stats()
+    assert stats["requests"] == 64
+    assert stats["batches"] <= 64
+    mb.stop()
+
+
 def test_microbatcher_propagates_runner_errors():
     def runner(batch: np.ndarray) -> np.ndarray:
         raise RuntimeError("device on fire")
@@ -129,6 +150,57 @@ def test_threshold_overrides_argmax(serve_state):
     serve_state.models[0].threshold = 1.1
     r = serve.predict_once(serve_state, img)[0]
     assert r["class_index"] == 0
+
+
+def test_threshold_auto_reads_latest_sweep(tmp_path, monkeypatch):
+    runs = tmp_path / "runs/t"
+    for run_id, (thr, ts) in {
+        "r1": (0.30, "2026-08-17T10:00:00"),
+        "r2": (0.42, "2026-08-18T10:00:00"),
+    }.items():
+        d = runs / run_id / "logs"
+        d.mkdir(parents=True)
+        (d / "metrics.jsonl").write_text(
+            json.dumps({"model": "m", "accuracy": 1.0}) + "\n"
+            + json.dumps({"model": "m", "threshold": thr, "timestamp": ts}) + "\n"
+        )
+    assert serve.latest_sweep_threshold(runs) == pytest.approx(0.42)
+    assert serve.latest_sweep_threshold(tmp_path / "missing") is None
+
+    cfg = {
+        "data": {"root": str(tmp_path / "data"), "num_classes": 2, "img_size": 32},
+        "models": {
+            "efficientnet_b3": {
+                "output_dir": str(runs),
+                "inference": {"threshold": "auto"},
+            }
+        },
+    }
+    p = tmp_path / "cfg.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    import deepfakedetection_tpu.orchestrator as orchestrator
+
+    monkeypatch.setattr(orchestrator, "get_model_spec", lambda name: tiny_spec())
+    monkeypatch.chdir(tmp_path)
+    state = serve.build_state(p, max_batch=4, max_wait_ms=2.0)
+    assert state.models[0].threshold == pytest.approx(0.42)
+    state.close()
+
+
+def test_config_threshold_validation(tmp_path):
+    from deepfakedetection_tpu.config import load_config
+
+    cfg = {
+        "data": {"root": "d", "num_classes": 2},
+        "models": {"efficientnet_b3": {"inference": {"threshold": 1.5}}},
+    }
+    p = tmp_path / "bad.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    with pytest.raises(Exception, match="threshold"):
+        load_config(p)
+    cfg["models"]["efficientnet_b3"]["inference"]["threshold"] = "AUTO"
+    p.write_text(yaml.safe_dump(cfg))
+    assert load_config(p)["models"]["efficientnet_b3"]["inference"]["threshold"] == "auto"
 
 
 def test_multi_model_fanout_and_filter(tmp_path, monkeypatch):
