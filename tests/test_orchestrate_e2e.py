@@ -41,11 +41,17 @@ def _write_cfg(path, data_root, out_dir, weights=None):
                     "batch_size": 8,
                     "num_workers": 0,
                     "warmup_epochs": 0,
+                    # TPU training extensions travel through orchestrate too
+                    "ema_decay": 0.9,
+                    "grad_clip_norm": 1.0,
+                    "mixup_alpha": 0.2,
                 },
                 "inference": {
                     "split": "test",
                     "batch_size": 8,
                     "num_workers": 0,
+                    "tta": "hflip",
+                    "lookahead": 2,
                     **({"weights": str(weights)} if weights else {}),
                 },
             }
