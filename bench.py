@@ -120,12 +120,14 @@ def bench_train(
     model_kwargs: dict | None = None,
     compiler_options: dict | None = None,
     ema_decay: float | None = None,
+    mixup: bool = False,
 ) -> float:
     """Train-step throughput (fwd+bwd+AdamW update), on-device scan loop.
 
     ``ema_decay`` measures the weight-EMA training mode's device cost by
     folding the per-step EMA update into the scan (the trainer runs it as a
-    separate jit per step — same HBM traffic, this excludes its dispatch)."""
+    separate jit per step — same HBM traffic, this excludes its dispatch).
+    ``mixup`` enables in-step Mixup+CutMix (training.mixup_alpha semantics)."""
     from deepfakedetection_tpu.registry import get_model_spec
     from deepfakedetection_tpu.train.optim import make_phase_optimizer
     from deepfakedetection_tpu.train.steps import (
@@ -146,7 +148,12 @@ def bench_train(
         params=params, batch_stats=batch_stats, opt_state=tx.init(params),
         step=jnp.asarray(0, jnp.int32),
     )
-    step_fn = make_train_step_fn(model, tx)
+    mixup_spec = None
+    if mixup:
+        from deepfakedetection_tpu.train.mixup import MixupSpec
+
+        mixup_spec = MixupSpec(mixup_alpha=0.2, cutmix_alpha=1.0)
+    step_fn = make_train_step_fn(model, tx, mixup=mixup_spec)
     base = jnp.ones((batch, img_size, img_size, 3), jnp.bfloat16)
     labels = jnp.zeros((batch,), jnp.int32)
     mask = jnp.ones((batch,), bool)
@@ -233,6 +240,10 @@ def main() -> None:
         "--tta", action="store_true",
         help="measure hflip test-time augmentation (inference.tta; eval only)",
     )
+    parser.add_argument(
+        "--mixup", action="store_true",
+        help="measure in-step Mixup+CutMix (training extension; train only)",
+    )
     args = parser.parse_args()
     if args.int8 and args.mode == "train":
         parser.error("--int8 is an eval-only path (training stays bf16)")
@@ -240,6 +251,8 @@ def main() -> None:
         parser.error("--ema measures the training mode (use --mode train)")
     if args.tta and args.mode != "eval":
         parser.error("--tta is an eval-only path")
+    if args.mixup and args.mode != "train":
+        parser.error("--mixup is a train-only path")
     kwargs = {"head_config": "official"} if args.official else {}
     suffix = "_official" if args.official else ""
     if args.int8:
@@ -265,9 +278,12 @@ def main() -> None:
         img_s = bench_train(
             args.model, args.batch, max(args.steps // 3, 5),
             model_kwargs=kwargs, compiler_options=copts, ema_decay=args.ema,
+            mixup=args.mixup,
         )
         if args.ema:
             suffix += "_ema"
+        if args.mixup:
+            suffix += "_mixup"
         metric = f"train_throughput_224px_{args.model}{suffix}"
         baseline = TRAIN_BASELINE_IMG_S
     else:
