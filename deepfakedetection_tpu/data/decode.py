@@ -103,6 +103,14 @@ def decode_eval(path: str | Path, plan: EvalTransformPlan) -> np.ndarray:
         return decode_pil_eval(img, plan)
 
 
+def decode_pil_train(img: Image.Image, plan: TrainTransformPlan) -> np.ndarray:
+    """Train decode of an open PIL image → uint8 square canvas
+    [host_canvas_size]² × 3 (randomized geometry happens on device)."""
+    if plan.ensure_rgb or img.mode != "RGB":
+        img = _ensure_rgb(img)
+    return _decode_to_square(img, plan.host_canvas_size, resize=plan.resize, crop=True)
+
+
 def decode_train(path: str | Path, plan: TrainTransformPlan) -> np.ndarray:
     """Train decode → uint8 square canvas [host_canvas_size]² × 3.
 
@@ -110,8 +118,4 @@ def decode_train(path: str | Path, plan: TrainTransformPlan) -> np.ndarray:
     large regime: shorter-side → max(img+32, 1.15·img) canvas, from which the
     device RandomResizedCrop samples (PARITY.md §3)."""
     with Image.open(path) as img:
-        if plan.ensure_rgb or img.mode != "RGB":
-            img = _ensure_rgb(img)
-        return _decode_to_square(
-            img, plan.host_canvas_size, resize=plan.resize, crop=True
-        )
+        return decode_pil_train(img, plan)

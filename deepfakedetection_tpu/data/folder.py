@@ -30,12 +30,22 @@ class ImageFolderDataset:
         return len(self.samples)
 
 
-def scan_image_folder(root: str | Path) -> ImageFolderDataset:
-    """Scan ``root/<class>/*`` into a dataset (alphabetical class order)."""
+def scan_image_folder(root: str | Path):
+    """Scan ``root/<class>/*`` into a dataset (alphabetical class order).
+
+    Layout auto-detection (TPU-framework extension): when the split
+    directory holds ``*.tar`` shards instead of class subdirectories, it
+    scans as a sharded-tar dataset (data/shards.py — the production-scale
+    layout); class ordering and the sample surface are identical either
+    way, so every consumer is backend-agnostic."""
     root = Path(root)
     if not root.is_dir():
         raise FileNotFoundError(f"dataset split directory not found: {root}")
     classes = sorted(d.name for d in root.iterdir() if d.is_dir())
+    if not classes and any(root.glob("*.tar")):
+        from deepfakedetection_tpu.data.shards import scan_tar_shards
+
+        return scan_tar_shards(root)
     class_to_idx = {c: i for i, c in enumerate(classes)}
     samples: list[tuple[Path, int]] = []
     for cls in classes:

@@ -199,6 +199,8 @@ class Loader:
 
     def _decode_raw(self, idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Decode the given sample indices → (uint8 [n,T,T,3], ok [n])."""
+        if hasattr(self.dataset, "read_bytes"):
+            return self._decode_from_bytes(idx)
         paths = [self.dataset.samples[i][0] for i in idx]
         if self.use_native:
             # eval plans may over-resize before the crop (trainer-val
@@ -225,6 +227,42 @@ class Loader:
         else:
             arrays = [decode(p) for p in paths]
         return np.stack(arrays), np.ones(len(idx), bool)
+
+    def _decode_from_bytes(self, idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Decode bytes-backed samples (tar shards, data/shards.py).
+
+        Read + decode run together in the shared pool (the read is one
+        seek+read against the shard — microseconds next to the decode).
+        The native C++ path applies when its direct-square geometry matches
+        the plan (train canvases; eval without the trainer-val over-resize);
+        otherwise PIL decodes from memory with identical geometry.
+        """
+        import io
+
+        from PIL import Image
+
+        from deepfakedetection_tpu.data.decode import decode_pil_eval, decode_pil_train
+
+        native_ok = self.use_native and (
+            self._train
+            or (self.plan.resize_size or self.plan.img_size) == self._target
+        )
+
+        def decode_one(i: int) -> np.ndarray:
+            data = self.dataset.read_bytes(int(i))
+            if native_ok:
+                return native.decode_buffer(data, self._target)
+            with Image.open(io.BytesIO(data)) as img:
+                if self._train:
+                    return decode_pil_train(img, self.plan)
+                return decode_pil_eval(img, self.plan)
+
+        ids = [int(i) for i in idx]
+        if self.num_workers > 0:
+            arrays = list(self._decode_pool().map(decode_one, ids))
+        else:
+            arrays = [decode_one(i) for i in ids]
+        return np.stack(arrays), np.ones(len(ids), bool)
 
     def _decode_pool(self) -> ThreadPoolExecutor:
         """Persistent PIL-decode pool (a per-batch pool would pay thread
