@@ -142,6 +142,29 @@ def use_pallas_dwse() -> bool:
     return env_flag("DFD_ENABLE_PALLAS_DWSE")
 
 
+def dw_group_size() -> int:
+    """Opt-in experiment: serve eligible eval-path depthwise convs as
+    block-diagonal GROUPED convs with this many channels per group
+    (``DFD_DW_GROUP_SIZE``, 0 = off). The math is identical — each group's
+    g×g cross-channel weight block is diagonal — but the contraction gains a
+    K = g·k² axis, moving the op from the VPU window loop (the profiled
+    44-233 GB/s depthwise+SE fusions holding ~29 ms of the 50 ms eval step,
+    docs/BENCHMARKS.md) onto the MXU at g× the FLOPs. Restricted to the
+    deep low-resolution stages via ``DFD_DW_GROUP_MAXHW`` (default 256 = 16²;
+    the early high-resolution depthwise fusions already stream near peak)."""
+    try:
+        return int(os.environ.get("DFD_DW_GROUP_SIZE", "0"))
+    except ValueError:
+        return 0
+
+
+def _dw_group_maxhw() -> int:
+    try:
+        return int(os.environ.get("DFD_DW_GROUP_MAXHW", "256"))
+    except ValueError:
+        return 256
+
+
 def _symmetric_pad(pad, k: int) -> bool:
     """True for the stride-1 zero-pad grid the fused dw kernel implements:
     (k//2, k//2) on both spatial dims (or TF-SAME, identical at stride 1)."""
@@ -288,9 +311,24 @@ class ConvBN(nn.Module):
                     H=H, W=W, k=kh,
                 )
                 return y, pooled
+            w_conv, groups_conv = w, self.groups
+            g = dw_group_size()
+            if (
+                g > 1
+                and self.groups == self.features == in_features
+                and self.features % g == 0
+                and x.shape[1] * x.shape[2] <= _dw_group_maxhw()
+            ):
+                # block-diagonal expansion: wg[:, :, a, c] = w[:, :, 0, c]
+                # iff a == c mod g (channel c sits at within-group slot c%g)
+                eye = (
+                    jnp.arange(g)[:, None] == (jnp.arange(self.features) % g)[None, :]
+                ).astype(w.dtype)
+                w_conv = w * eye[None, None]  # [kh,kw,1,C]·[1,1,g,C] → [kh,kw,g,C]
+                groups_conv = self.features // g
             y = _conv_f32_out(
-                x.astype(self.dtype), w.astype(self.dtype), self.strides, pad,
-                dn, self.groups,
+                x.astype(self.dtype), w_conv.astype(self.dtype), self.strides, pad,
+                dn, groups_conv,
             ) + b
         else:
             # TRAIN: keep the whole chain bf16 — stats accumulate in f32 from

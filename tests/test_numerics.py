@@ -76,3 +76,55 @@ def test_convbn_train_updates_running_stats_toward_batch():
     new_mean = np.asarray(mutated["batch_stats"]["mean"])
     # momentum 0.5 from init 0: new mean = 0.5 * batch_mean — must move
     assert np.abs(new_mean).max() > 0.1
+
+
+def test_dw_grouped_dispatch_matches_depthwise():
+    """DFD_DW_GROUP_SIZE block-diagonal grouped conv == depthwise conv.
+
+    The opt-in MXU reformulation (models/common.py dw_group_size) is exact
+    math — each group's g×g weight block is diagonal so the extra
+    contraction terms are zero — but backends may accumulate the contraction
+    in a different order, so assert a tight tolerance, not bit equality."""
+    from flax import linen as nn
+
+    rng = np.random.default_rng(7)
+    C = 96
+    model = ConvBN(C, (5, 5), groups=C, act=nn.silu, dtype=jnp.float32, name="dw")
+    x = jnp.asarray(rng.normal(size=(2, 7, 7, C)), jnp.float32)
+    variables = model.init({"params": jax.random.key(0)}, x, train=False)
+    variables = {
+        "params": variables["params"],
+        "batch_stats": {
+            "mean": jnp.asarray(rng.normal(size=C) * 0.3, jnp.float32),
+            "var": jnp.asarray(rng.uniform(0.5, 1.5, C), jnp.float32),
+        },
+    }
+    base = model.apply(variables, x, train=False)
+    import os
+
+    for g in (16, 48):
+        os.environ["DFD_DW_GROUP_SIZE"] = str(g)
+        try:
+            grouped = model.apply(variables, x, train=False)
+        finally:
+            del os.environ["DFD_DW_GROUP_SIZE"]
+        np.testing.assert_allclose(
+            np.asarray(base), np.asarray(grouped), atol=1e-5, rtol=0
+        )
+
+    # ineligible cases fall through untouched: g does not divide C; spatial
+    # size above the deep-stage ceiling
+    os.environ["DFD_DW_GROUP_SIZE"] = "7"
+    try:
+        same = model.apply(variables, x, train=False)
+    finally:
+        del os.environ["DFD_DW_GROUP_SIZE"]
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(same))
+    big = jnp.asarray(rng.normal(size=(1, 28, 28, C)), jnp.float32)
+    base_big = model.apply(variables, big, train=False)
+    os.environ["DFD_DW_GROUP_SIZE"] = "16"
+    try:
+        same_big = model.apply(variables, big, train=False)
+    finally:
+        del os.environ["DFD_DW_GROUP_SIZE"]
+    np.testing.assert_array_equal(np.asarray(base_big), np.asarray(same_big))
