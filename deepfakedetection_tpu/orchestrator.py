@@ -142,6 +142,7 @@ def build_train_job(
         remat=bool(train_cfg.get("remat", False)),
         bn_recalc_batches=int(train_cfg.get("bn_recalc_batches", 0) or 0),
         cache_decoded=bool(train_cfg.get("cache_decoded", False)),
+        async_checkpoint=bool(train_cfg.get("async_checkpoint", False)),
         ema_decay=(
             float(train_cfg["ema_decay"])
             if train_cfg.get("ema_decay") is not None

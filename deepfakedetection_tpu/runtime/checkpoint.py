@@ -63,6 +63,51 @@ def has_latest(checkpoints_dir: Path) -> bool:
     return latest_path(checkpoints_dir).exists()
 
 
+class AsyncSaver:
+    """Overlap checkpoint writes with the next epoch's compute.
+
+    ``submit_*`` snapshots the tree with an on-device copy — the train step
+    donates its state buffers (train/steps.py ``donate_argnums``), so the
+    live arrays may be invalidated by the next step while a write is still
+    in flight; the copy is cheap (HBM→HBM) and the background worker then
+    owns the device→host fetch, serialization, and file IO. A single worker
+    thread serializes saves in submission order, so ``latest.ckpt`` always
+    ends up holding the newest submitted state. ``wait()`` drains the queue
+    and re-raises the first failure (a silently lost checkpoint would
+    corrupt auto-resume semantics).
+    """
+
+    def __init__(self) -> None:
+        import concurrent.futures
+
+        self._pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="ckpt-save"
+        )
+        self._futures: list[Any] = []
+
+    @staticmethod
+    def _snapshot(tree: Any) -> Any:
+        import jax.numpy as jnp
+
+        return jax.tree.map(jnp.copy, tree)
+
+    def submit_tree(self, path: Path, tree: Any) -> None:
+        self._futures.append(self._pool.submit(save_tree, path, self._snapshot(tree)))
+
+    def submit_export(
+        self, path: Path, params: Any, batch_stats: Any | None = None
+    ) -> None:
+        snap_stats = self._snapshot(batch_stats) if batch_stats is not None else None
+        self._futures.append(
+            self._pool.submit(export_weights, path, self._snapshot(params), snap_stats)
+        )
+
+    def wait(self) -> None:
+        futures, self._futures = self._futures, []
+        for f in futures:
+            f.result()
+
+
 # ---------------------------------------------------------------------------
 # Portable bare-weights export/import (the ".pth" surface)
 # ---------------------------------------------------------------------------

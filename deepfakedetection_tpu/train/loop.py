@@ -106,6 +106,12 @@ class TrainJob:
     # best-model selection, and the exported ``.pth`` use the averaged
     # weights; ``latest.ckpt`` carries the EMA tree for resume.
     ema_decay: float | None = None
+    # write per-epoch checkpoints from a background worker so serialization
+    # and file IO overlap the next epoch's compute (TPU extension, default
+    # off = reference's synchronous torch.save semantics). State is
+    # snapshotted on device first — donation-safe (runtime/checkpoint.py
+    # AsyncSaver); failures surface at the end-of-training drain.
+    async_checkpoint: bool = False
     # extra builder kwargs (e.g. fastervit head_config: "tpu"|"official")
     model_kwargs: dict[str, Any] = field(default_factory=dict)
 
@@ -444,6 +450,9 @@ def _run_training(job: TrainJob) -> TrainResult:
     # NOT get a fresh full patience window
     epochs_without_improvement = max(0, start_epoch - 1 - best_epoch)
     epoch = start_epoch - 1
+    saver = ckpt.AsyncSaver() if job.async_checkpoint else None
+    if saver is not None:
+        console.print("  async checkpointing: epoch-end writes overlap compute")
     def recalc_stats(params, stats, epoch):
         """Precise-BN pass: running stats re-estimated for ``params``."""
         if job.bn_recalc_batches <= 0:
@@ -529,14 +538,17 @@ def _run_training(job: TrainJob) -> TrainResult:
         }
         if job.ema_decay:
             tree["ema"] = ema_box["ema"]
-        ckpt.save_tree(ckpt.latest_path(job.run_paths.checkpoints), tree)
-        if improved:
-            ckpt.save_tree(ckpt.best_path(job.run_paths.checkpoints), tree)
-            ckpt.export_weights(
-                job.run_paths.checkpoints / f"{job.spec.weights_key}.pth",
-                eval_params,
-                eval_stats,
-            )
+        pth_path = job.run_paths.checkpoints / f"{job.spec.weights_key}.pth"
+        if saver is not None:
+            saver.submit_tree(ckpt.latest_path(job.run_paths.checkpoints), tree)
+            if improved:
+                saver.submit_tree(ckpt.best_path(job.run_paths.checkpoints), tree)
+                saver.submit_export(pth_path, eval_params, eval_stats)
+        else:
+            ckpt.save_tree(ckpt.latest_path(job.run_paths.checkpoints), tree)
+            if improved:
+                ckpt.save_tree(ckpt.best_path(job.run_paths.checkpoints), tree)
+                ckpt.export_weights(pth_path, eval_params, eval_stats)
         if patience is not None and epochs_without_improvement >= patience:
             console.print(
                 f"  early stop: no improvement for {patience} epochs "
@@ -544,6 +556,10 @@ def _run_training(job: TrainJob) -> TrainResult:
             )
             break
 
+    if saver is not None:
+        # drain: training must not return before every submitted write has
+        # landed (and any write failure must surface here, not be lost)
+        saver.wait()
     return TrainResult(
         best_val_acc=best_val_acc,
         best_epoch=best_epoch,

@@ -97,3 +97,58 @@ def test_eval_job_outputs(trained_run, tiny_image_tree):
     rec = json.loads((job.run_paths.logs / "metrics.jsonl").read_text().splitlines()[-1])
     assert rec["model"] == "tiny_cnn" and rec["split"] == "test"
     assert (job.run_paths.plots / "confusion_matrix.png").exists()
+
+
+def test_async_checkpoint_roundtrip(tiny_image_tree, tmp_path_factory):
+    """training.async_checkpoint writes the same checkpoint surface, and the
+    run is resumable from its (background-written) latest.ckpt."""
+    out = tmp_path_factory.mktemp("runs_async")
+    run_paths = ensure_run_dirs(out / "tiny_cnn", run_id="a0")
+    kwargs = dict(
+        model_name="tiny_cnn",
+        spec=tiny_spec(),
+        run_paths=run_paths,
+        data_root=tiny_image_tree,
+        num_classes=2,
+        img_size=32,
+        batch_size=8,
+        num_workers=0,
+        seed=7,
+        resume_auto=True,
+        compute_dtype=np.float32,
+        async_checkpoint=True,
+    )
+    result = run_training(TrainJob(epochs=2, **kwargs))
+    assert result.epochs_run == 2
+    assert (run_paths.checkpoints / "latest.ckpt").exists()
+    if result.best_epoch >= 0:
+        assert (run_paths.checkpoints / "best.ckpt").exists()
+        assert (run_paths.checkpoints / "tiny_cnn.pth").exists()
+    resumed = run_training(TrainJob(epochs=3, **kwargs))
+    assert resumed.epochs_run == 1  # counters restored from the async write
+
+
+def test_async_saver_snapshot_and_failure(tmp_path):
+    """AsyncSaver: saved tree equals the submitted values even if the live
+    arrays change afterwards (donation hazard), and write failures surface
+    at wait()."""
+    import jax.numpy as jnp
+    import pytest
+
+    from deepfakedetection_tpu.runtime import checkpoint as ckpt
+
+    saver = ckpt.AsyncSaver()
+    tree = {"w": jnp.arange(4, dtype=jnp.float32)}
+    saver.submit_tree(tmp_path / "t.ckpt", tree)
+    tree["w"] = tree["w"] + 100.0  # mutate the live reference post-submit
+    saver.wait()
+    restored = ckpt.restore_tree(
+        tmp_path / "t.ckpt", {"w": np.zeros(4, np.float32)}
+    )
+    np.testing.assert_array_equal(np.asarray(restored["w"]), [0, 1, 2, 3])
+
+    blocked = tmp_path / "not_a_dir"
+    blocked.write_text("file, not dir")
+    saver.submit_tree(blocked / "x.ckpt", tree)
+    with pytest.raises(Exception):
+        saver.wait()
