@@ -15,6 +15,7 @@ orchestration/train_env.py:254-306):
 
 from __future__ import annotations
 
+import itertools
 import shutil
 from pathlib import Path
 from typing import Any
@@ -30,22 +31,85 @@ def _checkpointer() -> ocp.Checkpointer:
     return ocp.StandardCheckpointer()
 
 
+_sync_counter = itertools.count()
+
+
+def _sync(tag: str) -> None:
+    """Cross-process barrier around checkpoint filesystem mutations.
+
+    Uses the jax.distributed coordination service (orbax's
+    ``get_barrier_sync_fn`` — documented safe from background threads)
+    rather than ``sync_global_devices``: that one is a device collective,
+    and device collectives must launch in ONE global order across
+    processes, so issuing it off the main thread while train steps run
+    deadlocks (measured — see AsyncSaver). The per-process counter stays
+    aligned because every process runs the same save/export sequence
+    (lockstep training). No-op single-process.
+    """
+    if jax.process_count() == 1:
+        return
+    from orbax.checkpoint import multihost as om
+
+    om.get_barrier_sync_fn()(
+        key=f"dfd:{tag}:{next(_sync_counter)}", timeout_ms=600_000
+    )
+
+
 def save_tree(path: Path, tree: Any) -> None:
-    """Save a pytree checkpoint directory, atomically replacing any old one."""
+    """Save a pytree checkpoint directory, atomically replacing any old one.
+
+    Multihost-correct on a shared filesystem: the orbax save itself is
+    collective (every process writes its addressable shards — sharded
+    params checkpoint without gathering), while the surrounding replace
+    dance (clear stale tmp, swap tmp → final) runs on process 0 only,
+    fenced by barriers so no process writes into a directory another is
+    deleting or reads the final path before the swap lands. The old
+    checkpoint stays intact until the new one is fully written (crash
+    mid-save never loses ``latest.ckpt``).
+    """
     path = Path(path).resolve()
+    tree = _hostlocal_to_numpy(tree)
     tmp = path.with_name(path.name + ".tmp")
-    if tmp.exists():
+    primary = jax.process_index() == 0
+    if primary and tmp.exists():
         shutil.rmtree(tmp)
+    _sync("ckpt-pre")
     with _checkpointer() as ckptr:
         ckptr.save(tmp, tree)
-    if path.exists():
-        shutil.rmtree(path)
-    tmp.rename(path)
+    if primary:
+        if path.exists():
+            shutil.rmtree(path)
+        tmp.rename(path)
+    _sync("ckpt-post")
+
+
+def _hostlocal_to_numpy(tree: Any) -> Any:
+    """In multiprocess runs, convert host-local jax arrays to numpy.
+
+    Orbax refuses host-local (all-shards-addressable) jax.Arrays in
+    multihost settings; the only such leaves in our checkpoints are the
+    lockstep-identical step/epoch counters, which serialize fine as numpy
+    (primary-host write). Global sharded/replicated arrays pass through and
+    are written collectively. No-op single-process.
+    """
+    if jax.process_count() == 1:
+        return tree
+    return jax.tree.map(
+        lambda x: np.asarray(x)
+        if isinstance(x, jax.Array) and x.is_fully_addressable
+        else x,
+        tree,
+    )
 
 
 def restore_tree(path: Path, target: Any) -> Any:
-    """Restore a pytree checkpoint with ``target``'s structure/shardings."""
+    """Restore a pytree checkpoint with ``target``'s structure/shardings.
+
+    Host-local template leaves (counters) restore as numpy in multiprocess
+    runs, mirroring how ``save_tree`` wrote them.
+    """
     path = Path(path).resolve()
+    target = _hostlocal_to_numpy(target)
     abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
     with _checkpointer() as ckptr:
         return ckptr.restore(path, abstract)
@@ -75,11 +139,21 @@ class AsyncSaver:
     ends up holding the newest submitted state. ``wait()`` drains the queue
     and re-raises the first failure (a silently lost checkpoint would
     corrupt auto-resume semantics).
+
+    Multiprocess runs degrade to INLINE (synchronous) saves: orbax's save
+    barriers are ``sync_global_devices`` DEVICE collectives, and a device
+    collective launched from a background thread interleaves
+    nondeterministically with the main thread's train-step collectives —
+    the cross-process launch orders diverge and every process deadlocks
+    (measured in the 2-process test before this guard existed). Overlapped
+    multihost checkpointing needs orbax's own AsyncCheckpointer machinery;
+    until then correctness wins over overlap.
     """
 
     def __init__(self) -> None:
         import concurrent.futures
 
+        self._inline = jax.process_count() > 1
         self._pool = concurrent.futures.ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="ckpt-save"
         )
@@ -92,11 +166,17 @@ class AsyncSaver:
         return jax.tree.map(jnp.copy, tree)
 
     def submit_tree(self, path: Path, tree: Any) -> None:
+        if self._inline:
+            save_tree(path, tree)  # no snapshot needed: save completes now
+            return
         self._futures.append(self._pool.submit(save_tree, path, self._snapshot(tree)))
 
     def submit_export(
         self, path: Path, params: Any, batch_stats: Any | None = None
     ) -> None:
+        if self._inline:
+            export_weights(path, params, batch_stats)
+            return
         snap_stats = self._snapshot(batch_stats) if batch_stats is not None else None
         self._futures.append(
             self._pool.submit(export_weights, path, self._snapshot(params), snap_stats)
@@ -119,13 +199,37 @@ def export_weights(path: Path, params: Any, batch_stats: Any | None = None) -> P
     Written to the configured path even if it ends ``.pth`` (the reference's
     naming, efficientnet.py:552-554); the loader auto-detects format by magic
     bytes, so both native exports and genuine torch checkpoints work.
+
+    Multihost: the file is written by process 0 only (one writer on a
+    shared filesystem); ``device_get`` is host-local, so the tree must be
+    fully addressable — replicated, as the train loop's eval/export trees
+    are. Model-sharded params belong in the orbax checkpoints (which write
+    shards collectively), not this portable export.
     """
     path = Path(path)
-    path.parent.mkdir(parents=True, exist_ok=True)
-    tree = {"params": jax.device_get(params)}
-    if batch_stats is not None:
-        tree["batch_stats"] = jax.device_get(batch_stats)
-    path.write_bytes(serialization.to_bytes(tree))
+    # validate BEFORE any barrier or early return: the predicate is
+    # host-local but consistent across processes, so either every process
+    # raises here (no barrier tick consumed, counters stay aligned) or none.
+    # Replicated global arrays (P() over the mesh) fetch locally; only
+    # genuinely sharded leaves are rejected.
+    for leaf in jax.tree.leaves((params, batch_stats)):
+        if (
+            isinstance(leaf, jax.Array)
+            and not leaf.is_fully_addressable
+            and not leaf.is_fully_replicated
+        ):
+            raise ValueError(
+                "export_weights needs a locally-fetchable (replicated or "
+                "single-process) tree; reshard with NamedSharding(mesh, P()) "
+                "before exporting, or save an orbax checkpoint instead"
+            )
+    if jax.process_index() == 0:
+        path.parent.mkdir(parents=True, exist_ok=True)
+        tree = {"params": jax.device_get(params)}
+        if batch_stats is not None:
+            tree["batch_stats"] = jax.device_get(batch_stats)
+        path.write_bytes(serialization.to_bytes(tree))
+    _sync("export-post")
     return path
 
 

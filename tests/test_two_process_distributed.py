@@ -67,6 +67,24 @@ def test_two_process_sharded_train_syncs_gradients(tiny_image_tree, tmp_path):
     assert len(r0["losses"]) == 4  # 16 samples, batch 8, 2 epochs, lockstep
     assert all(np.isfinite(r0["losses"]))
 
+    # multihost checkpoint surface (see twoproc_train_worker): the sharded
+    # save→overwrite→restore round-trip held on BOTH processes, the
+    # model-sharded export was rejected on both, and exactly one process
+    # wrote the portable export
+    assert r0["roundtrip_ok"] and r1["roundtrip_ok"]
+    assert r0["export_rejected"] and r1["export_rejected"]
+    ckpts = tmp_path / "shared_ckpts"
+    assert (ckpts / "latest.ckpt").is_dir()
+    assert not (ckpts / "latest.ckpt.tmp").exists()  # swap completed
+    assert (ckpts / "weights.pth").is_file()
+    assert not (ckpts / "bad.pth").exists()
+    from flax import serialization
+
+    tree = serialization.msgpack_restore(
+        bytearray((ckpts / "weights.pth").read_bytes())
+    )
+    assert "params" in tree and len(tree["params"]) > 0
+
 
 @pytest.mark.slow
 def test_two_process_sharded_eval_matches_single_process(

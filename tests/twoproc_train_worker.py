@@ -95,8 +95,64 @@ def main() -> None:
     # params checksum must be identical across processes (grad all-reduce)
     flat = jax.tree.leaves(jax.tree.map(lambda t: np.asarray(t), state.params))
     checksum = float(sum(np.abs(leaf).sum() for leaf in flat))
+
+    # --- multihost checkpoint surface (runtime/checkpoint.py) -------------
+    # save_tree is collective (each process writes its addressable shards of
+    # the MODEL-SHARDED params) with primary-only tmp/swap; saving twice
+    # exercises the atomic-replace dance across processes; restore must
+    # round-trip the sharded values; export_weights writes from process 0
+    # only and rejects non-addressable trees.
+    from pathlib import Path
+
+    from deepfakedetection_tpu.runtime import checkpoint as ckpt
+
+    ckpt_dir = Path(out_path).parent / "shared_ckpts"
+    tree = {"params": state.params, "epoch": jnp.asarray(1, jnp.int32)}
+    ckpt.save_tree(ckpt_dir / "latest.ckpt", tree)
+    tree2 = {
+        "params": jax.tree.map(lambda t: t + 1.0, state.params),
+        "epoch": jnp.asarray(2, jnp.int32),
+    }
+    # AsyncSaver must degrade to an inline save here (multiprocess): a save
+    # running on a side thread issues orbax's device-collective barriers
+    # out of launch order with the main thread's train-step collectives and
+    # deadlocks — this submit+train sequence deadlocked before the guard
+    saver = ckpt.AsyncSaver()
+    saver.submit_tree(ckpt_dir / "latest.ckpt", tree2)
+    for batch in loader:
+        images = shard_batch(mesh, batch.images)
+        x = normalize_batch(images, norm_plan, out_dtype=jnp.float32)
+        labels, mask = jax.tree.map(
+            lambda a: shard_batch(mesh, a), (batch.labels, batch.mask)
+        )
+        state, _ = train_step(state, x, labels, mask, jax.random.key(9))
+    saver.wait()
+    restored = ckpt.restore_tree(ckpt_dir / "latest.ckpt", tree2)
+    eq = jax.tree.map(lambda a, b: bool((a == b).all()), restored, tree2)
+    roundtrip_ok = all(jax.tree.leaves(eq))
+
+    export_rejected = False
+    try:  # model-sharded tree must be rejected, not silently truncated
+        ckpt.export_weights(ckpt_dir / "bad.pth", state.params)
+    except ValueError:
+        export_rejected = True
+    from jax.sharding import NamedSharding as _NS, PartitionSpec as _P
+
+    repl = jax.device_put(state.params, _NS(mesh, _P()))
+    ckpt.export_weights(ckpt_dir / "weights.pth", repl)
+
     with open(out_path, "w") as f:
-        json.dump({"losses": losses, "checksum": checksum, "seen": seen}, f)
+        json.dump(
+            {
+                "losses": losses,
+                "checksum": checksum,
+                "seen": seen,
+                "roundtrip_ok": roundtrip_ok,
+                "export_rejected": export_rejected,
+                "is_primary": pid == 0,
+            },
+            f,
+        )
 
 
 if __name__ == "__main__":
