@@ -37,8 +37,36 @@ def _parse_resume(value: Any) -> bool:
     if isinstance(value, (int, float)):
         return bool(value)
     if isinstance(value, str):
-        return value.strip().lower() in ("1", "true", "auto", "yes")
+        # "continue" (TPU extension) also reuses the newest existing run dir
+        # — see _resolve_run_paths
+        return value.strip().lower() in ("1", "true", "auto", "yes", "continue")
     return False
+
+
+def _resolve_run_paths(model_cfg: dict[str, Any], output_dir: Path, mode: str):
+    """Fresh timestamped run dir per invocation (reference semantics,
+    orchestrator.py:682-684) — unless ``training.resume: continue``.
+
+    TPU extension: the reference's RESUME_AUTO can never fire through the
+    CLI because every invocation makes a new timestamped dir, so the
+    latest.ckpt it looks for is always absent (ref train_env.py:182-185 +
+    orchestrator.py:138-145). ``resume: continue`` reuses the NEWEST
+    existing run dir that holds a ``checkpoints/latest.ckpt``, which makes
+    both epoch-level resume and mid-epoch preemption resume
+    (runtime/preempt.py) real from ``python train.py``. All reference
+    resume spellings (1/true/auto) keep reference behavior.
+    """
+    train_cfg = (model_cfg.get("training") or {}) if mode == "training" else {}
+    resume_val = str(train_cfg.get("resume") or "").strip().lower()
+    if resume_val == "continue" and output_dir.exists():
+        runs = sorted(
+            d for d in output_dir.iterdir()
+            if d.is_dir() and (d / "checkpoints" / "latest.ckpt").exists()
+        )
+        if runs:
+            console.print(f"  resume: continue → reusing run dir {runs[-1]}")
+            return ensure_run_dirs(output_dir, run_id=runs[-1].name)
+    return ensure_run_dirs(output_dir)
 
 
 def _apply_device_preference(device: str | None) -> None:
@@ -244,11 +272,20 @@ def orchestrate(config_path: str | Path, mode: str = "training") -> None:
         model_cfg = dict(model_cfg)
         model_cfg["name"] = model_name
         output_dir = model_cfg.get("output_dir") or f"runs/{model_name}"
-        run_paths = ensure_run_dirs(_resolve_path(output_dir))
+        run_paths = _resolve_run_paths(model_cfg, _resolve_path(output_dir), mode)
         snapshot_config(config, model_name, run_paths)
         if mode == "training":
             job = build_train_job(config, model_name, model_cfg, run_paths)
             result = run_training(job)
+            if result.interrupted:
+                # SIGTERM mid-run (runtime/preempt.py): the mid-epoch
+                # checkpoint is saved; stop dispatching further models so
+                # the process exits within the preemption grace window
+                console.print(
+                    f"[yellow]⚠ {model_name} preempted — stopping; "
+                    "rerun to resume[/]"
+                )
+                return
             console.print(
                 f"[bold green]✓ {model_name}[/]: best val acc "
                 f"{result.best_val_acc:.4f} @ epoch {result.best_epoch + 1}"

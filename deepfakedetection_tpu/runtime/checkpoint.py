@@ -182,6 +182,15 @@ class AsyncSaver:
             self._pool.submit(export_weights, path, self._snapshot(params), snap_stats)
         )
 
+    def submit_call(self, fn: Any, *args: Any) -> None:
+        """Queue an arbitrary callable behind the pending writes (e.g. the
+        preempt sidecar cleanup, which must not run before the epoch-end
+        checkpoint it refers to has landed)."""
+        if self._inline:
+            fn(*args)
+            return
+        self._futures.append(self._pool.submit(fn, *args))
+
     def wait(self) -> None:
         futures, self._futures = self._futures, []
         for f in futures:

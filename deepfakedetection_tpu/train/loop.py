@@ -36,6 +36,7 @@ from deepfakedetection_tpu.data.transforms import build_eval_plan, build_train_p
 from deepfakedetection_tpu.parallel.mesh import make_mesh, shard_batch
 from deepfakedetection_tpu.registry import ModelSpec
 from deepfakedetection_tpu.runtime import checkpoint as ckpt
+from deepfakedetection_tpu.runtime import preempt
 from deepfakedetection_tpu.runtime.logging import console, progress
 from deepfakedetection_tpu.runtime.paths import RunPaths
 from deepfakedetection_tpu.runtime.seeding import apply_seed, root_key
@@ -122,6 +123,9 @@ class TrainResult:
     best_epoch: int
     epochs_run: int
     final_train_loss: float
+    # SIGTERM arrived mid-run: a resumable mid-epoch checkpoint was saved
+    # and the orchestrator should stop dispatching further models
+    interrupted: bool = False
 
 
 def _counters_tree(epoch: int, best_val_acc: float, best_epoch: int, warmup_done: bool):
@@ -175,7 +179,10 @@ def run_training(job: TrainJob) -> TrainResult:
 
     # trainer console tees into the run's log file, mirroring the reference's
     # LOG_PATH tee (train_env.py:49-95, orchestrator.py:301-303)
-    with tee_output(job.run_paths.logs / "train.log"):
+    # SIGTERM during the run → graceful mid-epoch checkpoint + exact resume
+    # (runtime/preempt.py; single-process only — multihost keeps the
+    # per-epoch collective latest.ckpt as its recovery unit)
+    with tee_output(job.run_paths.logs / "train.log"), preempt.trap():
         if job.profile_dir:
             import jax.profiler
 
@@ -260,11 +267,17 @@ def _run_training(job: TrainJob) -> TrainResult:
         mask = shard_batch(mesh, batch.mask)
         return x, labels, mask
 
-    def device_prefetch(loader, epoch_key, plan):
+    def device_prefetch(loader, epoch_key, plan, skip=0):
         """Stage the next batch's H2D transfer + augmentation while the
-        current train step runs (async dispatch overlaps them)."""
+        current train step runs (async dispatch overlaps them).
+
+        ``skip`` drops the first N batches BEFORE the H2D transfer (exact
+        mid-epoch resume, runtime/preempt.py); the augmentation key still
+        folds the true batch index so skipped and replayed runs agree."""
         staged = None
         for i, batch in enumerate(loader):
+            if i < skip:
+                continue
             nxt = (batch_to_device(batch, jax.random.fold_in(epoch_key, i), plan),
                    batch.num_valid)
             if staged is not None:
@@ -273,9 +286,13 @@ def _run_training(job: TrainJob) -> TrainResult:
         if staged is not None:
             yield staged
 
-    def train_one_epoch(train_step, state, loader, epoch_key, desc, on_step=None):
+    def train_one_epoch(
+        train_step, state, loader, epoch_key, desc, on_step=None, skip_batches=0
+    ):
         losses = []
         speed = 0.0
+        interrupted = False
+        batches_done = skip_batches
         # distinct PRNG domain for the step's dropout/drop-path keys: the
         # step folds in state.step, which coincides with the augmentation's
         # batch index during the first epoch of a phase — without this
@@ -284,16 +301,21 @@ def _run_training(job: TrainJob) -> TrainResult:
         step_key = jax.random.fold_in(epoch_key, 0x5EED)
         with progress(desc, total=len(loader.dataset)) as advance:
             for (x, labels, mask), num_valid in device_prefetch(
-                loader, epoch_key, train_plan
+                loader, epoch_key, train_plan, skip=skip_batches
             ):
                 state, metrics = train_step(state, x, labels, mask, step_key)
                 if on_step is not None:
                     on_step(state)
                 losses.append(metrics["loss"])
                 speed = advance(num_valid)
+                batches_done += 1
+                if preempt.requested():
+                    interrupted = True
+                    break
+        # NB: a resumed partial epoch averages only the replayed batches
         mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
         console.print(f"  {desc}: loss={mean_loss:.4f} | {speed:.1f} img/s")
-        return state, mean_loss, speed
+        return state, mean_loss, speed, batches_done, interrupted
 
     eval_step = make_eval_step(model)
     eval_loader = make_eval_loader(
@@ -357,6 +379,26 @@ def _run_training(job: TrainJob) -> TrainResult:
             f"(best={best_val_acc:.4f} @ {best_epoch})"
         )
 
+    # ----- mid-epoch resume (runtime/preempt.py sidecar) --------------------
+    # the sidecar records how many batches of start_epoch the interrupted run
+    # completed; replaying the epoch while skipping exactly those batches is
+    # bit-identical to an uninterrupted run (loader order + aug keys are
+    # deterministic per epoch). Ignored unless it matches this run's resume
+    # epoch and batch geometry (a changed config voids exactness anyway).
+    resume_skip = 0
+    prog = preempt.read_progress(job.run_paths.checkpoints) if job.resume_auto else None
+    if (
+        prog is not None
+        and prog["epoch"] == start_epoch
+        and prog["batch_size"] == ft_batch
+        and prog["batches_done"] > 0
+    ):
+        resume_skip = prog["batches_done"]
+        console.print(
+            f"  mid-epoch resume: skipping {resume_skip} completed batches "
+            f"of epoch {start_epoch + 1}"
+        )
+
     # ----- WARMUP phase ----------------------------------------------------
     if not warmup_done and warmup_epochs > 0 and start_epoch == 0:
         wu_tx, wu_n, _ = make_phase_optimizer(
@@ -386,9 +428,16 @@ def _run_training(job: TrainJob) -> TrainResult:
         for we in range(warmup_epochs):
             wu_loader.set_epoch(we)
             wu_key = jax.random.fold_in(key, 10_000 + we)
-            wu_state, _, _ = train_one_epoch(
+            wu_state, _, _, _, wu_interrupted = train_one_epoch(
                 wu_step, wu_state, wu_loader, wu_key, f"warmup {we + 1}/{warmup_epochs}"
             )
+            if wu_interrupted:
+                # warmup state is not checkpointed (train_env.py semantics:
+                # resume restarts warmup) — exit cleanly, rerun redoes warmup
+                console.print(
+                    "  preempted during warmup — nothing saved; rerun restarts warmup"
+                )
+                return TrainResult(0.0, -1, 0, 0.0, interrupted=True)
         acc, _ = evaluate(
             eval_step, wu_state.params, wu_state.batch_stats, eval_loader,
             eval_plan, mesh=mesh, compute_dtype=job.compute_dtype,
@@ -476,10 +525,39 @@ def _run_training(job: TrainJob) -> TrainResult:
     for epoch in range(start_epoch, epochs):
         ft_loader.set_epoch(epoch)
         epoch_key = jax.random.fold_in(key, 20_000 + epoch)
-        ft_state, final_loss, train_speed = train_one_epoch(
+        skip = resume_skip if epoch == start_epoch else 0
+        if skip >= len(ft_loader):
+            skip = 0  # stale/corrupt sidecar: replay the whole epoch
+        ft_state, final_loss, train_speed, batches_done, interrupted = train_one_epoch(
             ft_step, ft_state, ft_loader, epoch_key,
-            f"epoch {epoch + 1}/{epochs}", on_step=on_step,
+            f"epoch {epoch + 1}/{epochs}", on_step=on_step, skip_batches=skip,
         )
+        if interrupted:
+            # graceful preemption: persist the mid-epoch state NOW (inline —
+            # the grace window may be short; drain any in-flight async writes
+            # first so latest.ckpt ends newest) plus the sidecar that lets
+            # the resumed run skip the completed batches exactly
+            if saver is not None:
+                saver.wait()
+            tree = {
+                "state": ft_state,
+                "counters": _counters_tree(epoch - 1, best_val_acc, best_epoch, True),
+            }
+            if job.ema_decay:
+                tree["ema"] = ema_box["ema"]
+            ckpt.save_tree(ckpt.latest_path(job.run_paths.checkpoints), tree)
+            preempt.write_progress(
+                job.run_paths.checkpoints,
+                epoch=epoch, batches_done=batches_done, batch_size=ft_batch,
+            )
+            console.print(
+                f"  preempted at epoch {epoch + 1} batch {batches_done}: "
+                "mid-epoch checkpoint saved — rerun to resume exactly there"
+            )
+            return TrainResult(
+                best_val_acc, best_epoch, epoch - start_epoch, final_loss,
+                interrupted=True,
+            )
         ft_state = ft_state.replace(
             batch_stats=recalc_stats(ft_state.params, ft_state.batch_stats, epoch)
         )
@@ -541,11 +619,15 @@ def _run_training(job: TrainJob) -> TrainResult:
         pth_path = job.run_paths.checkpoints / f"{job.spec.weights_key}.pth"
         if saver is not None:
             saver.submit_tree(ckpt.latest_path(job.run_paths.checkpoints), tree)
+            # ordered behind the write: the sidecar must not outlive the
+            # epoch-end checkpoint it refers to (stale → inexact resume)
+            saver.submit_call(preempt.clear_progress, job.run_paths.checkpoints)
             if improved:
                 saver.submit_tree(ckpt.best_path(job.run_paths.checkpoints), tree)
                 saver.submit_export(pth_path, eval_params, eval_stats)
         else:
             ckpt.save_tree(ckpt.latest_path(job.run_paths.checkpoints), tree)
+            preempt.clear_progress(job.run_paths.checkpoints)
             if improved:
                 ckpt.save_tree(ckpt.best_path(job.run_paths.checkpoints), tree)
                 ckpt.export_weights(pth_path, eval_params, eval_stats)

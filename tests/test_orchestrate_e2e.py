@@ -122,7 +122,7 @@ def test_orchestrate_skips_unknown_selection_name(
 
     def fake_train(job):
         calls.append(job.model_name)
-        return types.SimpleNamespace(best_val_acc=1.0, best_epoch=0)
+        return types.SimpleNamespace(best_val_acc=1.0, best_epoch=0, interrupted=False)
 
     monkeypatch.setattr(orch, "run_training", fake_train)
     cfg_path = _write_cfg(tmp_path / "c.yaml", tiny_image_tree, tmp_path / "runs")
@@ -132,3 +132,59 @@ def test_orchestrate_skips_unknown_selection_name(
     )
     orch.orchestrate(cfg_path, mode="training")
     assert calls == ["tiny_cnn"]
+
+
+def test_orchestrate_stops_dispatch_after_preemption(
+    tiny_image_tree, tmp_path, tiny_registry, monkeypatch
+):
+    """An interrupted result (SIGTERM mid-run, runtime/preempt.py) must stop
+    the selection loop so the process exits within the grace window instead
+    of starting the next model's training."""
+    import types
+
+    calls = []
+
+    def fake_train(job):
+        calls.append(job.model_name)
+        return types.SimpleNamespace(best_val_acc=0.5, best_epoch=0, interrupted=True)
+
+    monkeypatch.setattr(orch, "run_training", fake_train)
+    cfg_path = _write_cfg(tmp_path / "c.yaml", tiny_image_tree, tmp_path / "runs")
+    raw = yaml.safe_load(cfg_path.read_text())
+    raw["models"]["tiny_cnn_b"] = raw["models"]["tiny_cnn"]
+    monkeypatch.setattr(
+        orch,
+        "load_config",
+        lambda p: {**raw, "selection": ["tiny_cnn", "tiny_cnn_b"]},
+    )
+    orch.orchestrate(cfg_path, mode="training")
+    assert calls == ["tiny_cnn"], "second model must not be dispatched"
+
+
+def test_resume_continue_reuses_newest_checkpointed_run_dir(tmp_path):
+    """training.resume: continue → newest run dir holding a latest.ckpt is
+    reused (TPU extension; every reference spelling still makes a fresh
+    timestamped dir, so the reference's RESUME_AUTO could never fire from
+    the CLI — see orchestrator._resolve_run_paths)."""
+    out = tmp_path / "runs"
+    for name, with_ckpt in (("20240101-000000", True), ("20240102-000000", True),
+                            ("20240103-000000", False)):
+        d = out / name / "checkpoints"
+        d.mkdir(parents=True)
+        if with_ckpt:
+            (d / "latest.ckpt").mkdir()
+
+    cfg = {"training": {"resume": "continue"}}
+    paths = orch._resolve_run_paths(cfg, out, mode="training")
+    assert paths.root == out / "20240102-000000"
+
+    # reference spellings keep reference semantics: fresh dir
+    cfg = {"training": {"resume": "auto"}}
+    paths = orch._resolve_run_paths(cfg, out, mode="training")
+    assert paths.root.parent == out
+    assert paths.root.name not in ("20240101-000000", "20240102-000000")
+
+    # inference mode never reuses
+    cfg = {"training": {"resume": "continue"}}
+    paths = orch._resolve_run_paths(cfg, out, mode="inference")
+    assert paths.root.name not in ("20240101-000000", "20240102-000000")

@@ -22,6 +22,9 @@ def main() -> None:
     ap.add_argument("--root", type=Path, required=True)
     ap.add_argument("--per-class", type=int, default=5000)
     ap.add_argument("--val-per-class", type=int, default=256)
+    # 0 = eval-only tree (the original use); >0 also emits a train split so
+    # the same generator drives the on-chip convergence demos (docs/ROUND3.md)
+    ap.add_argument("--train-per-class", type=int, default=0)
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--quality", type=int, default=90)
@@ -31,7 +34,10 @@ def main() -> None:
     rng = np.random.default_rng(args.seed)
     h, w = args.height, args.width
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
-    for split, n in (("val", args.val_per_class), ("test", args.per_class)):
+    splits = [("val", args.val_per_class), ("test", args.per_class)]
+    if args.train_per_class:
+        splits.insert(0, ("train", args.train_per_class))
+    for split, n in splits:
         for ci, cls in enumerate(("fake", "real")):
             d = args.root / split / cls
             d.mkdir(parents=True, exist_ok=True)
