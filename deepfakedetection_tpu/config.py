@@ -152,6 +152,28 @@ class MeshConfig(BaseModel):
     model: int = 1
 
 
+class EnsembleConfig(BaseModel):
+    """TPU extension: combine the selected models' softmax probabilities
+    after inference (weighted mean; threshold re-swept on the ensemble's
+    val distribution — evaluate/ensemble.py). The reference evaluates each
+    model independently and never combines them."""
+
+    model_config = ConfigDict(extra="allow")
+
+    enabled: bool = True
+    weights: dict[str, float] | None = None
+    output_dir: str | None = None  # default runs/ensemble
+
+    @field_validator("weights")
+    @classmethod
+    def _weights_positive(cls, value: dict[str, float] | None):
+        if value is not None:
+            bad = {k: v for k, v in value.items() if not float(v) > 0.0}
+            if bad:
+                raise ValueError(f"ensemble.weights must be > 0, got {bad}")
+        return value
+
+
 class OrchestratorConfig(BaseModel):
     model_config = ConfigDict(extra="allow")
 
@@ -164,6 +186,8 @@ class OrchestratorConfig(BaseModel):
     mesh: MeshConfig | None = None
     precision: str = "bfloat16"
     profile_dir: str | None = None
+    # ensemble: true (uniform) or {enabled, weights, output_dir}
+    ensemble: EnsembleConfig | bool | None = None
 
     @field_validator("models")
     @classmethod
@@ -189,6 +213,12 @@ class OrchestratorConfig(BaseModel):
             if unknown:
                 raise ValueError(
                     f"selection references unknown models: {', '.join(unknown)}"
+                )
+        if isinstance(self.ensemble, EnsembleConfig) and self.ensemble.weights:
+            unknown = [m for m in self.ensemble.weights if m not in self.models]
+            if unknown:
+                raise ValueError(
+                    f"ensemble.weights references unknown models: {', '.join(unknown)}"
                 )
         return self
 

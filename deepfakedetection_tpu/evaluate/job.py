@@ -74,6 +74,12 @@ class EvalResult:
     probs: np.ndarray
     targets: np.ndarray
     preds: np.ndarray
+    # split class names (for downstream plots, e.g. evaluate/ensemble.py)
+    classes: list[str] = field(default_factory=list)
+    # the threshold sweep's val-pass outputs (None when the sweep didn't
+    # run); evaluate/ensemble.py re-sweeps on the combined distribution
+    val_probs: np.ndarray | None = None
+    val_targets: np.ndarray | None = None
 
 
 _WEIGHTS_RELEASE_BASE = (
@@ -298,6 +304,7 @@ def _run_eval_job(job: EvalJob) -> EvalResult | None:
 def _eval_passes(job, params, batch_stats, eval_step, plan, mesh, *, int8_active=False):
     # ---- binary decision-threshold sweep on val (orchestrator.py:513-546)
     best_threshold = 0.5
+    vprobs = vtargets = None
     if job.num_classes == 2:
         val_path = job.data_root / job.val_split
         if val_path.exists():
@@ -381,4 +388,7 @@ def _eval_passes(job, params, batch_stats, eval_step, plan, mesh, *, int8_active
     console.print(
         json.dumps({"model": job.model_name, "split": job.split, "accuracy": accuracy})
     )
-    return EvalResult(metrics=metrics, probs=probs, targets=targets, preds=preds)
+    return EvalResult(
+        metrics=metrics, probs=probs, targets=targets, preds=preds,
+        classes=list(test_ds.classes), val_probs=vprobs, val_targets=vtargets,
+    )

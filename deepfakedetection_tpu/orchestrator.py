@@ -248,6 +248,17 @@ def build_eval_job(
     )
 
 
+def _ensemble_cfg(config: dict[str, Any]) -> dict[str, Any] | None:
+    """Normalize the top-level ``ensemble:`` key (bool or mapping) to a dict,
+    or None when disabled/absent (config.EnsembleConfig validates shapes)."""
+    raw = config.get("ensemble")
+    if raw is True:
+        return {}
+    if isinstance(raw, dict) and raw.get("enabled", True):
+        return raw
+    return None
+
+
 def orchestrate(config_path: str | Path, mode: str = "training") -> None:
     from deepfakedetection_tpu.parallel.multihost import maybe_initialize
     from deepfakedetection_tpu.runtime.compile_cache import enable as enable_compile_cache
@@ -261,6 +272,7 @@ def orchestrate(config_path: str | Path, mode: str = "training") -> None:
 
     selection = config.get("selection") or list((config.get("models") or {}).keys())
     models = config.get("models") or {}
+    eval_results: dict[str, Any] = {}
     for model_name in selection:
         model_cfg = models.get(model_name)
         if model_cfg is None:
@@ -292,9 +304,26 @@ def orchestrate(config_path: str | Path, mode: str = "training") -> None:
             )
         elif mode == "inference":
             job = build_eval_job(config, model_name, model_cfg, run_paths)
-            run_eval_job(job)
+            eval_results[model_name] = run_eval_job(job)
         else:
             raise ValueError(f"unknown mode '{mode}'")
+
+    # opt-in softmax-averaged ensemble over the selection's eval results
+    # (TPU extension; evaluate/ensemble.py — the reference never combines)
+    ens_cfg = _ensemble_cfg(config)
+    if mode == "inference" and ens_cfg is not None:
+        from deepfakedetection_tpu.evaluate.ensemble import run_ensemble
+
+        ens_paths = ensure_run_dirs(
+            _resolve_path(ens_cfg.get("output_dir") or "runs/ensemble")
+        )
+        snapshot_config(config, "ensemble", ens_paths)
+        run_ensemble(
+            eval_results,
+            ens_paths,
+            num_classes=int((config.get("data") or {}).get("num_classes", 2)),
+            weights=ens_cfg.get("weights"),
+        )
 
 
 def run_cli(default_mode: str = "training") -> None:

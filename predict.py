@@ -30,12 +30,27 @@ def main() -> None:
     parser.add_argument("--input", type=Path, required=True, help="image file or directory")
     parser.add_argument("--cam", action="store_true", help="export Grad-CAM triptychs")
     parser.add_argument("--json", action="store_true", help="machine-readable output")
+    parser.add_argument(
+        "--ensemble", action="store_true",
+        help="also report the softmax-averaged ensemble of the selected models "
+        "(on by default when the config sets a top-level 'ensemble:' key)",
+    )
     args = parser.parse_args()
 
     enable_compile_cache()
     import web_ui  # model loading + CAM path shared with the UI
 
     web_ui.initialize_from_config(args.config)
+
+    # ensemble settings: the CLI flag or the config's top-level key
+    # (evaluate/ensemble.py semantics: weighted mean of softmax outputs)
+    from deepfakedetection_tpu.config import load_config
+    from deepfakedetection_tpu.orchestrator import _ensemble_cfg
+
+    ens_cfg = _ensemble_cfg(load_config(args.config))
+    if args.ensemble and ens_cfg is None:
+        ens_cfg = {}
+    ens_weights = (ens_cfg or {}).get("weights") or {}
 
     if args.input.is_dir():
         paths = sorted(
@@ -60,12 +75,14 @@ def main() -> None:
                 continue
             record: dict = {"image": str(path), "predictions": {}}
             lines = []
+            member_probs: list[tuple[str, np.ndarray]] = []
             for bundle in web_ui.MODEL_CACHE:
                 arr = decode_pil_eval(img, bundle.plan)
                 x = normalize_batch(jnp.asarray(arr)[None], bundle.plan, out_dtype=jnp.float32)
                 probs = np.asarray(
                     bundle.eval_step(bundle.params, bundle.batch_stats, x)
                 )[0]
+                member_probs.append((bundle.name, probs))
                 cls_idx = int(probs.argmax())
                 label = web_ui.CLASS_LABELS.get(cls_idx, f"class_{cls_idx}")
                 conf = float(probs[cls_idx] * 100.0)
@@ -75,6 +92,24 @@ def main() -> None:
                     "probs": [round(float(p), 6) for p in probs],
                 }
                 lines.append(f"  {bundle.display_label}: {label} ({conf:.2f}% confidence)")
+            if ens_cfg is not None and len(member_probs) >= 2:
+                w = np.asarray(
+                    [float(ens_weights.get(n, 1.0)) for n, _ in member_probs]
+                )
+                probs = np.tensordot(
+                    w / w.sum(),
+                    np.stack([p for _, p in member_probs]).astype(np.float64),
+                    axes=1,
+                )
+                cls_idx = int(probs.argmax())
+                label = web_ui.CLASS_LABELS.get(cls_idx, f"class_{cls_idx}")
+                conf = float(probs[cls_idx] * 100.0)
+                record["predictions"]["ensemble"] = {
+                    "label": label,
+                    "confidence": round(conf, 2),
+                    "probs": [round(float(p), 6) for p in probs],
+                }
+                lines.append(f"  ensemble: {label} ({conf:.2f}% confidence)")
             if args.json:
                 print(json.dumps(record))
             else:

@@ -197,6 +197,11 @@ class ServedModel:
 class ServeState:
     models: list[ServedModel]
     class_labels: dict[int, str] = field(default_factory=lambda: {0: "fake", 1: "real"})
+    # softmax-averaged ensemble over the fan-out (config top-level
+    # ``ensemble:`` key — evaluate/ensemble.py semantics); None = off
+    ensemble_weights: dict[str, float] | None = None
+    ensemble_enabled: bool = False
+    ensemble_threshold: float | None = None
 
     def by_name(self, name: str) -> ServedModel | None:
         for m in self.models:
@@ -335,7 +340,30 @@ def build_state(
         )
     if not served:
         raise RuntimeError("No valid models configured for serving.")
-    return ServeState(models=served, class_labels=class_labels)
+
+    from deepfakedetection_tpu.orchestrator import _ensemble_cfg
+
+    ens_cfg = _ensemble_cfg(config)
+    ens_threshold = None
+    if ens_cfg is not None:
+        thr = ens_cfg.get("threshold")
+        if isinstance(thr, str) and thr.lower() == "auto":
+            thr = latest_sweep_threshold(
+                Path(ens_cfg.get("output_dir") or "runs/ensemble")
+            )
+            print(
+                "[serve] ensemble: threshold "
+                + (f"{thr:.4f} (from latest ensemble sweep)" if thr is not None
+                   else "auto requested but no sweep record found — using argmax")
+            )
+        ens_threshold = float(thr) if thr is not None else None
+    return ServeState(
+        models=served,
+        class_labels=class_labels,
+        ensemble_weights=(ens_cfg or {}).get("weights"),
+        ensemble_enabled=ens_cfg is not None,
+        ensemble_threshold=ens_threshold,
+    )
 
 
 def predict_once(state: ServeState, image: Image.Image, only: str | None = None):
@@ -348,8 +376,10 @@ def predict_once(state: ServeState, image: Image.Image, only: str | None = None)
         arr = decode_pil_eval(image, m.plan)  # uint8 [S,S,3]
         futs.append((m, m.batcher.submit(arr)))
     results = []
+    member_probs: list[tuple[str, np.ndarray]] = []
     for m, fut in futs:
         probs = fut.result(timeout=120)
+        member_probs.append((m.name, np.asarray(probs, np.float64)))
         if m.threshold is not None and probs.shape[-1] == 2:
             cls_idx = int(probs[1] >= m.threshold)
         else:
@@ -358,6 +388,29 @@ def predict_once(state: ServeState, image: Image.Image, only: str | None = None)
             {
                 "model": m.name,
                 "display_name": m.display_label,
+                "label": state.class_labels.get(cls_idx, f"class_{cls_idx}"),
+                "class_index": cls_idx,
+                "confidence": float(probs[cls_idx]),
+                "probs": [float(p) for p in probs],
+            }
+        )
+    # softmax-averaged ensemble entry over the full fan-out (opt-in; not
+    # emitted for ?model= single-model requests)
+    if state.ensemble_enabled and only is None and len(member_probs) >= 2:
+        w = np.asarray(
+            [float((state.ensemble_weights or {}).get(n, 1.0)) for n, _ in member_probs]
+        )
+        probs = np.tensordot(
+            w / w.sum(), np.stack([p for _, p in member_probs]), axes=1
+        )
+        if state.ensemble_threshold is not None and probs.shape[-1] == 2:
+            cls_idx = int(probs[1] >= state.ensemble_threshold)
+        else:
+            cls_idx = int(probs.argmax())
+        results.append(
+            {
+                "model": "ensemble",
+                "display_name": "Ensemble",
                 "label": state.class_labels.get(cls_idx, f"class_{cls_idx}"),
                 "class_index": cls_idx,
                 "confidence": float(probs[cls_idx]),

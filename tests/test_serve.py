@@ -306,3 +306,41 @@ def test_http_endpoints_and_concurrent_batching(serve_state, tmp_path):
         for m in serve_state.models:
             m.batcher.stop()
         time.sleep(0.05)
+
+
+def test_serve_ensemble_entry(tmp_path, monkeypatch):
+    """ensemble: true adds a softmax-averaged 'ensemble' record to the full
+    fan-out (weighted mean of member probs; absent for ?model= requests)."""
+    cfg = {
+        "data": {"root": str(tmp_path / "data"), "num_classes": 2, "img_size": 32},
+        "models": {
+            "efficientnet_b3": {"output_dir": str(tmp_path / "runs/a")},
+            "efficientformerv2_s1": {"output_dir": str(tmp_path / "runs/b")},
+        },
+        "ensemble": {"weights": {"efficientnet_b3": 3.0, "efficientformerv2_s1": 1.0}},
+    }
+    p = tmp_path / "cfg.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+
+    import deepfakedetection_tpu.orchestrator as orchestrator
+
+    spec = tiny_spec()
+    monkeypatch.setattr(orchestrator, "get_model_spec", lambda name: spec)
+    monkeypatch.chdir(tmp_path)
+    state = serve.build_state(p, max_batch=4, max_wait_ms=2.0)
+    try:
+        img = Image.open(io.BytesIO(_jpeg_bytes()))
+        results = serve.predict_once(state, img)
+        by_model = {r["model"]: r for r in results}
+        assert "ensemble" in by_model
+        expected = (
+            3.0 * np.asarray(by_model["efficientnet_b3"]["probs"])
+            + 1.0 * np.asarray(by_model["efficientformerv2_s1"]["probs"])
+        ) / 4.0
+        np.testing.assert_allclose(by_model["ensemble"]["probs"], expected, atol=1e-9)
+        assert by_model["ensemble"]["label"] in ("fake", "real")
+        # single-model filter must not emit the ensemble entry
+        only = serve.predict_once(state, img, only="efficientnet_b3")
+        assert [r["model"] for r in only] == ["efficientnet_b3"]
+    finally:
+        state.close()
