@@ -208,6 +208,23 @@ def build_eval_job(
         or spec.default_image_size
     )
     weights = infer_cfg.get("weights")
+    if isinstance(weights, str) and weights.strip().lower() == "auto":
+        # TPU extension: resolve the newest trained export for this model.
+        # A re-train lands in a fresh timestamped run dir, so a literal
+        # weights path goes stale and SILENTLY evaluates init weights (the
+        # load only warns) — an hours-costing footgun. "auto" scans the
+        # model's output_dir for the newest run holding an exported .pth
+        # and hard-fails with an actionable message when none exists.
+        weights = _latest_weights_export(
+            _resolve_path(model_cfg.get("output_dir") or f"runs/{model_name}")
+        )
+        if weights is None:
+            raise SystemExit(
+                f"inference.weights: auto — no exported .pth found under "
+                f"{model_cfg.get('output_dir') or f'runs/{model_name}'}/*/checkpoints/; "
+                f"train first (python train.py) or point weights at a file"
+            )
+        console.print(f"  weights: auto → {weights}")
     # batch/workers fallback chains (reference: orchestrator.py:257-269).
     # NB: like the reference, pydantic fills inference defaults (64/4) when
     # an inference block EXISTS, so these chains only engage when the whole
@@ -246,6 +263,20 @@ def build_eval_job(
         tta=(str(infer_cfg["tta"]).lower() if infer_cfg.get("tta") else None),
         model_kwargs=_model_kwargs(model_cfg),
     )
+
+
+def _latest_weights_export(output_dir: Path) -> Path | None:
+    """Newest run dir's exported best weights: ``<output_dir>/<ts>/checkpoints/*.pth``.
+
+    Run dirs are timestamped (``YYYYmmdd-HHMMSS``), so lexical order is
+    creation order; within a run the export is unique per weights_key."""
+    if not output_dir.exists():
+        return None
+    for run in sorted((d for d in output_dir.iterdir() if d.is_dir()), reverse=True):
+        pths = sorted((run / "checkpoints").glob("*.pth"))
+        if pths:
+            return pths[-1]
+    return None
 
 
 def _ensemble_cfg(config: dict[str, Any]) -> dict[str, Any] | None:

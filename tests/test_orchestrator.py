@@ -109,3 +109,31 @@ def test_eval_job_batch_worker_fallback_chain(tmp_path):
     job2 = build_eval_job(cfg2, "efficientnet_b3", mc, run_paths)
     assert job2.batch_size == 64
     assert job2.num_workers == 0  # data has no num_workers → 0
+
+
+def test_eval_job_weights_auto_resolves_newest_export(tmp_path):
+    """inference.weights: auto → newest run dir's exported .pth (TPU
+    extension; a literal path goes stale after every re-train because run
+    dirs are freshly timestamped, and the load only warns)."""
+    import pytest
+
+    cfg = _config(tmp_path)
+    out = tmp_path / "runs/enet"
+    for run, with_pth in (("20240101-000000", True), ("20240102-000000", True),
+                          ("20240103-000000", False)):
+        d = out / run / "checkpoints"
+        d.mkdir(parents=True)
+        if with_pth:
+            (d / "efficientnet_b3.pth").write_bytes(b"x")
+    mc = dict(cfg["models"]["efficientnet_b3"], name="efficientnet_b3")
+    mc["inference"] = dict(mc["inference"], weights="auto")
+    run_paths = ensure_run_dirs(tmp_path / "runs/enet", run_id="t")
+    job = build_eval_job(cfg, "efficientnet_b3", mc, run_paths)
+    # newest run WITH an export wins (the empty 0103 dir is skipped; the
+    # "t" run dir created above has no checkpoints/*.pth either)
+    assert job.weights == out / "20240102-000000" / "checkpoints" / "efficientnet_b3.pth"
+
+    # no export anywhere → actionable hard failure, never silent init weights
+    mc2 = dict(mc, output_dir=str(tmp_path / "runs/empty"))
+    with pytest.raises(SystemExit, match="no exported .pth"):
+        build_eval_job(cfg, "efficientnet_b3", mc2, run_paths)
