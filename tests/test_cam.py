@@ -107,3 +107,30 @@ def test_webui_predict_and_visualize(tiny_image_tree, tmp_path, monkeypatch):
     assert "% confidence)" in lines[0]
     exports = list((tmp_path / "cam_exports").glob("cam_triptych_*.png"))
     assert len(exports) == 1
+
+
+def test_webui_ensemble_summary_line(tiny_image_tree, tmp_path, monkeypatch):
+    """ensemble: config adds a summary verdict line (triptych unchanged —
+    Grad-CAM is per-model)."""
+    import web_ui
+    from deepfakedetection_tpu.data.transforms import build_eval_plan
+    from deepfakedetection_tpu.train.steps import make_eval_step
+
+    model, params, batch_stats = _tiny()
+    bundle = web_ui.ModelBundle(
+        name="tiny_cnn", display_label="Tiny CNN", model=model, params=params,
+        batch_stats=batch_stats, eval_step=make_eval_step(model),
+        plan=build_eval_plan(32),
+    )
+    monkeypatch.setattr(web_ui, "MODEL_CACHE", [bundle, bundle])
+    monkeypatch.setattr(web_ui, "EXPORT_DIR", tmp_path / "cam_exports")
+    monkeypatch.setattr(web_ui, "ENSEMBLE_CFG", {})
+
+    img = Image.fromarray(
+        np.random.default_rng(3).integers(0, 255, (50, 60, 3), dtype=np.uint8)
+    )
+    out, summary = web_ui.predict_and_visualize(img)
+    assert out.shape == (64, 128, 3)  # still two panels, no ensemble panel
+    lines = summary.splitlines()
+    assert len(lines) == 4
+    assert lines[2].startswith("Ensemble: ") and "% confidence)" in lines[2]

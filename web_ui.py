@@ -60,12 +60,18 @@ class ModelBundle:
 
 CLASS_LABELS: dict[int, str] = {0: "fake", 1: "real"}
 MODEL_CACHE: list[ModelBundle] = []
+# top-level ``ensemble:`` config (evaluate/ensemble.py semantics) — when
+# set, the summary gains a softmax-averaged ensemble verdict line
+ENSEMBLE_CFG: dict[str, Any] | None = None
 
 
 def initialize_from_config(config_path: Path) -> None:
     """Load config and populate MODEL_CACHE (reference: web_ui.py:156-221)."""
-    global CLASS_LABELS, MODEL_CACHE
+    global CLASS_LABELS, MODEL_CACHE, ENSEMBLE_CFG
     config = load_config(config_path)
+    from deepfakedetection_tpu.orchestrator import _ensemble_cfg
+
+    ENSEMBLE_CFG = _ensemble_cfg(config)
     data_cfg: dict[str, Any] = config.get("data", {})
     labels_cfg = data_cfg.get("class_labels")
     if isinstance(labels_cfg, dict):
@@ -127,6 +133,7 @@ def predict_and_visualize(image: Image.Image) -> tuple[np.ndarray, str]:
     """Per-model prediction + Grad-CAM triptych (reference: web_ui.py:241-306)."""
     panels: list[np.ndarray] = []
     summary_lines: list[str] = []
+    member_probs: list[tuple[str, np.ndarray]] = []
 
     for bundle in MODEL_CACHE:
         arr = decode_pil_eval(image, bundle.plan)  # uint8 [S,S,3]
@@ -135,6 +142,7 @@ def predict_and_visualize(image: Image.Image) -> tuple[np.ndarray, str]:
         probs = np.asarray(
             bundle.eval_step(bundle.params, bundle.batch_stats, x)
         )[0]
+        member_probs.append((bundle.name, probs))
         cls_idx = int(probs.argmax())
         confidence = float(probs[cls_idx] * 100.0)
         label = CLASS_LABELS.get(cls_idx, f"class_{cls_idx}")
@@ -157,6 +165,21 @@ def predict_and_visualize(image: Image.Image) -> tuple[np.ndarray, str]:
 
     if not panels:
         raise RuntimeError("No models available for inference.")
+
+    # softmax-averaged ensemble verdict (opt-in top-level ensemble: key;
+    # summary-only — Grad-CAM is per-model, so the triptych is unchanged)
+    if ENSEMBLE_CFG is not None and len(member_probs) >= 2:
+        weights = ENSEMBLE_CFG.get("weights") or {}
+        w = np.asarray([float(weights.get(n, 1.0)) for n, _ in member_probs])
+        eprobs = np.tensordot(
+            w / w.sum(), np.stack([p for _, p in member_probs]).astype(np.float64),
+            axes=1,
+        )
+        cls_idx = int(eprobs.argmax())
+        summary_lines.append(
+            f"Ensemble: {CLASS_LABELS.get(cls_idx, f'class_{cls_idx}')} "
+            f"({float(eprobs[cls_idx] * 100.0):.2f}% confidence)"
+        )
 
     side_by_side = np.concatenate(panels, axis=1)
     h, w, _ = side_by_side.shape
