@@ -140,41 +140,87 @@ class AsyncSaver:
     and re-raises the first failure (a silently lost checkpoint would
     corrupt auto-resume semantics).
 
-    Multiprocess runs degrade to INLINE (synchronous) saves: orbax's save
-    barriers are ``sync_global_devices`` DEVICE collectives, and a device
-    collective launched from a background thread interleaves
-    nondeterministically with the main thread's train-step collectives —
-    the cross-process launch orders diverge and every process deadlocks
-    (measured in the 2-process test before this guard existed). Overlapped
-    multihost checkpointing needs orbax's own AsyncCheckpointer machinery;
-    until then correctness wins over overlap.
+    Multiprocess runs use orbax's ``AsyncCheckpointer`` for the TREE saves
+    instead of the thread pool: running our whole sync ``save_tree`` on a
+    side thread deadlocks — its barriers were ``sync_global_devices``
+    DEVICE collectives, and a device collective launched from a background
+    thread interleaves nondeterministically with the main thread's
+    train-step collectives (measured in the 2-process test before the
+    original inline guard). ``AsyncCheckpointer`` is built for exactly
+    this: the blocking portion of ``save`` runs on the MAIN thread (D2H
+    copy + directory setup, coordination-service fenced) and only the file
+    commit runs in background with thread-safe coordination-service
+    barriers of its own. The crash-safe replace dance stays ours: each
+    async save targets ``<name>.tmp`` (orbax writes that atomically), and
+    the tmp→final swap happens on the primary at the NEXT drain point —
+    so ``latest.ckpt`` always holds a complete checkpoint, lagging the
+    in-flight write by at most one epoch. The ``.pth`` export stays inline
+    in multiprocess runs (primary-only small-file write; not worth a
+    deferred-swap protocol).
     """
 
     def __init__(self) -> None:
         import concurrent.futures
 
-        self._inline = jax.process_count() > 1
+        self._multi = jax.process_count() > 1
         self._pool = concurrent.futures.ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="ckpt-save"
         )
         self._futures: list[Any] = []
+        # multiprocess: one AsyncCheckpointer per target path (latest/best
+        # overlap each other and the next epoch) + its deferred tmp→final swap
+        self._async: dict[Path, Any] = {}
+        self._pending_swap: dict[Path, Path] = {}
 
     @staticmethod
     def _snapshot(tree: Any) -> Any:
+        """Device-copy jax leaves (the train step donates its buffers, so
+        the live arrays may be invalidated while the write is in flight);
+        host leaves (numpy counters) need no copy."""
         import jax.numpy as jnp
 
-        return jax.tree.map(jnp.copy, tree)
+        return jax.tree.map(
+            lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, tree
+        )
+
+    def _drain_path(self, path: Path) -> None:
+        """Finish the in-flight write for ``path`` and land its swap."""
+        ckptr = self._async.get(path)
+        if ckptr is None:
+            return
+        ckptr.wait_until_finished()  # re-raises background write failures
+        tmp = self._pending_swap.pop(path, None)
+        if tmp is not None:
+            if jax.process_index() == 0:
+                if path.exists():
+                    shutil.rmtree(path)
+                tmp.rename(path)
+            _sync("async-swap")
 
     def submit_tree(self, path: Path, tree: Any) -> None:
-        if self._inline:
-            save_tree(path, tree)  # no snapshot needed: save completes now
+        path = Path(path).resolve()
+        if self._multi:
+            # previous write to this path must land (and swap) before its
+            # tmp directory is reused
+            self._drain_path(path)
+            tree = _hostlocal_to_numpy(self._snapshot(tree))
+            tmp = path.with_name(path.name + ".tmp")
+            if jax.process_index() == 0 and tmp.exists():
+                shutil.rmtree(tmp)
+            _sync("async-pre")
+            ckptr = self._async.get(path)
+            if ckptr is None:
+                ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+                self._async[path] = ckptr
+            ckptr.save(tmp, args=ocp.args.StandardSave(tree))
+            self._pending_swap[path] = tmp
             return
         self._futures.append(self._pool.submit(save_tree, path, self._snapshot(tree)))
 
     def submit_export(
         self, path: Path, params: Any, batch_stats: Any | None = None
     ) -> None:
-        if self._inline:
+        if self._multi:
             export_weights(path, params, batch_stats)
             return
         snap_stats = self._snapshot(batch_stats) if batch_stats is not None else None
@@ -186,7 +232,8 @@ class AsyncSaver:
         """Queue an arbitrary callable behind the pending writes (e.g. the
         preempt sidecar cleanup, which must not run before the epoch-end
         checkpoint it refers to has landed)."""
-        if self._inline:
+        if self._multi:
+            self.wait()  # contract: runs behind every pending write
             fn(*args)
             return
         self._futures.append(self._pool.submit(fn, *args))
@@ -195,6 +242,16 @@ class AsyncSaver:
         futures, self._futures = self._futures, []
         for f in futures:
             f.result()
+        for path in list(self._async):
+            self._drain_path(path)
+
+    def close(self) -> None:
+        """Drain everything and release worker threads (idempotent)."""
+        self.wait()
+        for ckptr in self._async.values():
+            ckptr.close()
+        self._async.clear()
+        self._pool.shutdown(wait=True)
 
 
 # ---------------------------------------------------------------------------

@@ -554,6 +554,8 @@ def _run_training(job: TrainJob) -> TrainResult:
                 f"  preempted at epoch {epoch + 1} batch {batches_done}: "
                 "mid-epoch checkpoint saved — rerun to resume exactly there"
             )
+            if saver is not None:
+                saver.close()
             return TrainResult(
                 best_val_acc, best_epoch, epoch - start_epoch, final_loss,
                 interrupted=True,
@@ -639,9 +641,10 @@ def _run_training(job: TrainJob) -> TrainResult:
             break
 
     if saver is not None:
-        # drain: training must not return before every submitted write has
-        # landed (and any write failure must surface here, not be lost)
-        saver.wait()
+        # drain + release: training must not return before every submitted
+        # write has landed (and any write failure must surface here, not be
+        # lost); close() also lands the deferred multiprocess tmp→final swaps
+        saver.close()
     return TrainResult(
         best_val_acc=best_val_acc,
         best_epoch=best_epoch,

@@ -113,10 +113,13 @@ def main() -> None:
         "params": jax.tree.map(lambda t: t + 1.0, state.params),
         "epoch": jnp.asarray(2, jnp.int32),
     }
-    # AsyncSaver must degrade to an inline save here (multiprocess): a save
-    # running on a side thread issues orbax's device-collective barriers
-    # out of launch order with the main thread's train-step collectives and
-    # deadlocks — this submit+train sequence deadlocked before the guard
+    # AsyncSaver in multiprocess: the tree save goes through orbax's
+    # AsyncCheckpointer (blocking D2H on the main thread, file commit in a
+    # background thread with coordination-service barriers) while train
+    # steps with device collectives keep running — the ORIGINAL design ran
+    # our whole sync save on a side thread and deadlocked exactly here.
+    # The tmp→final swap is deferred to the next drain point, so the OLD
+    # complete checkpoint must survive while the write is in flight.
     saver = ckpt.AsyncSaver()
     saver.submit_tree(ckpt_dir / "latest.ckpt", tree2)
     for batch in loader:
@@ -126,10 +129,17 @@ def main() -> None:
             lambda a: shard_batch(mesh, a), (batch.labels, batch.mask)
         )
         state, _ = train_step(state, x, labels, mask, jax.random.key(9))
-    saver.wait()
+    # crash-safety window: latest.ckpt still holds tree (epoch 1) until the
+    # in-flight tree2 write lands and swaps at the drain point. (Value
+    # comparison uses the epoch counter only: tree's param buffers were
+    # donated into the train steps above, so their data is gone — but the
+    # template's shape/sharding metadata still drives the restore.)
+    mid = ckpt.restore_tree(ckpt_dir / "latest.ckpt", tree)
+    crash_window_ok = int(np.asarray(mid["epoch"])) == 1
+    saver.close()
     restored = ckpt.restore_tree(ckpt_dir / "latest.ckpt", tree2)
     eq = jax.tree.map(lambda a, b: bool((a == b).all()), restored, tree2)
-    roundtrip_ok = all(jax.tree.leaves(eq))
+    roundtrip_ok = all(jax.tree.leaves(eq)) and crash_window_ok
 
     export_rejected = False
     try:  # model-sharded tree must be rejected, not silently truncated
