@@ -50,6 +50,14 @@ def _lib() -> ctypes.CDLL | None:
             ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte),
             ctypes.POINTER(ctypes.c_int), ctypes.c_int,
         ]
+    if hasattr(lib, "dfd_decode_buffer_batch_rc"):
+        lib.dfd_decode_buffer_batch_rc.restype = ctypes.c_int
+        lib.dfd_decode_buffer_batch_rc.argtypes = [
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+            ctypes.POINTER(ctypes.c_long), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+        ]
     return lib
 
 
@@ -91,6 +99,55 @@ def decode_buffer(data: bytes, target: int) -> np.ndarray:
     if rc != 0:
         raise RuntimeError(f"native buffer decode failed: {last_error()}")
     return out
+
+
+def has_buffer_batch() -> bool:
+    """True when the library exposes the buffer-batch entry point
+    (``dfd_decode_buffer_batch_rc``; rebuild with ``make -C native`` if not)."""
+    lib = _lib()
+    return lib is not None and hasattr(lib, "dfd_decode_buffer_batch_rc")
+
+
+def decode_buffer_batch(
+    buffers: list[bytes],
+    target: int,
+    *,
+    n_threads: int = 4,
+    resize_target: int | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Thread-pool batch decode of in-memory buffers (tar-shard datasets).
+
+    Same geometry/status semantics as ``decode_batch``; the C++ pool decodes
+    all buffers concurrently (one Python→C call per batch, no per-image
+    ctypes overhead, no GIL in the loop).
+    """
+    lib = _lib()
+    if lib is None:
+        raise RuntimeError(f"native loader not available at {_LIB_PATH}")
+    if not hasattr(lib, "dfd_decode_buffer_batch_rc"):
+        raise RuntimeError(
+            "native library is stale (no dfd_decode_buffer_batch_rc); rebuild "
+            "with `make -C native` or use the PIL path"
+        )
+    n = len(buffers)
+    out = np.zeros((n, target, target, 3), np.uint8)
+    status = np.zeros((n,), np.int32)
+    # keep the per-buffer ctypes copies alive for the duration of the call
+    c_bufs = [
+        (ctypes.c_ubyte * len(b)).from_buffer_copy(b) for b in buffers
+    ]
+    buf_ptrs = (ctypes.POINTER(ctypes.c_ubyte) * n)(
+        *[ctypes.cast(b, ctypes.POINTER(ctypes.c_ubyte)) for b in c_bufs]
+    )
+    lens = (ctypes.c_long * n)(*[len(b) for b in buffers])
+    resize = int(resize_target) if resize_target else int(target)
+    lib.dfd_decode_buffer_batch_rc(
+        buf_ptrs, lens, n, resize, target,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        max(int(n_threads), 1),
+    )
+    return out, status
 
 
 def decode_batch(

@@ -231,33 +231,40 @@ class Loader:
     def _decode_from_bytes(self, idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Decode bytes-backed samples (tar shards, data/shards.py).
 
-        Read + decode run together in the shared pool (the read is one
-        seek+read against the shard — microseconds next to the decode).
-        The native C++ path applies when its direct-square geometry matches
-        the plan (train canvases; eval without the trainer-val over-resize);
-        otherwise PIL decodes from memory with identical geometry.
+        Native path: the reads (one seek+read per member — microseconds next
+        to the decode) run serially, then ONE ``decode_buffer_batch`` call
+        decodes the whole batch in the C++ thread pool — same pool, same
+        resize/crop geometry as the file-path branch (a per-image
+        ``decode_buffer`` loop measured 22% slower E2E on one core:
+        docs/BENCHMARKS.md "Shard backend"). PIL decodes from memory with
+        identical geometry otherwise (default eval path, bit-parity).
         """
+        ids = [int(i) for i in idx]
+        if self.use_native and native.has_buffer_batch():
+            buffers = [self.dataset.read_bytes(i) for i in ids]
+            resize = (
+                self._target
+                if self._train
+                else (self.plan.resize_size or self.plan.img_size)
+            )
+            decoded, status = native.decode_buffer_batch(
+                buffers, self._target, n_threads=max(self.num_workers, 1),
+                resize_target=resize,
+            )
+            return decoded, status == 0
         import io
 
         from PIL import Image
 
         from deepfakedetection_tpu.data.decode import decode_pil_eval, decode_pil_train
 
-        native_ok = self.use_native and (
-            self._train
-            or (self.plan.resize_size or self.plan.img_size) == self._target
-        )
-
         def decode_one(i: int) -> np.ndarray:
             data = self.dataset.read_bytes(int(i))
-            if native_ok:
-                return native.decode_buffer(data, self._target)
             with Image.open(io.BytesIO(data)) as img:
                 if self._train:
                     return decode_pil_train(img, self.plan)
                 return decode_pil_eval(img, self.plan)
 
-        ids = [int(i) for i in idx]
         if self.num_workers > 0:
             arrays = list(self._decode_pool().map(decode_one, ids))
         else:

@@ -375,6 +375,42 @@ int dfd_decode_buffer(const unsigned char* buf, long len, int target,
   return 0;
 }
 
+// Thread-pool batch decode from in-memory buffers (tar-shard datasets,
+// data/shards.py: bytes arrive from one seek+read per member). Same worker
+// pattern and resize/crop semantics as dfd_decode_batch_rc. Returns the
+// count of failures; per-image status in `status`.
+int dfd_decode_buffer_batch_rc(const unsigned char** bufs, const long* lens,
+                               int n, int resize_target, int crop_target,
+                               unsigned char* out, int* status,
+                               int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int> next{0};
+  std::atomic<int> failures{0};
+  size_t stride = static_cast<size_t>(crop_target) * crop_target * 3;
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      ImageU8 img;
+      int rc = 0;
+      if (!decode_any(bufs[i], static_cast<size_t>(lens[i]), resize_target,
+                      &img)) {
+        rc = 2;
+      } else {
+        shape_to_square(img, resize_target, crop_target, out + stride * i);
+      }
+      status[i] = rc;
+      if (rc != 0) failures.fetch_add(1);
+    }
+  };
+  std::vector<std::thread> threads;
+  int spawn = std::min(n_threads, n);
+  threads.reserve(spawn);
+  for (int t = 0; t < spawn; ++t) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+  return failures.load();
+}
+
 // Thread-pool batch decode with separate resize/crop targets. paths: array
 // of n C strings; out: n*crop²*3 bytes. status: per-image 0/err. Returns
 // count of failures.

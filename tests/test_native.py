@@ -86,3 +86,48 @@ def test_native_trainer_val_geometry_matches_pil(smooth_images):
         assert nat[0].shape == pil.shape == (96, 96, 3)
         diff = np.abs(pil.astype(int) - nat[0].astype(int))
         assert diff.mean() < 2.0, diff.mean()
+
+
+def test_buffer_batch_matches_file_batch(smooth_images, tmp_path):
+    """decode_buffer_batch (tar-shard path) must be byte-identical to
+    decode_batch over the same images, incl. the trainer-val over-resize
+    geometry; corrupt buffers report per-image status."""
+    if not native.has_buffer_batch():
+        pytest.skip("library built without dfd_decode_buffer_batch_rc")
+    jpg, png = smooth_images
+    buffers = [jpg.read_bytes(), png.read_bytes()]
+    for resize in (64, 80):  # direct square + over-resize-then-crop
+        by_file, st_f = native.decode_batch(
+            [jpg, png], 64, n_threads=2, resize_target=resize
+        )
+        by_buf, st_b = native.decode_buffer_batch(
+            buffers, 64, n_threads=2, resize_target=resize
+        )
+        assert (st_f == 0).all() and (st_b == 0).all()
+        np.testing.assert_array_equal(by_file, by_buf)
+    out, status = native.decode_buffer_batch(
+        [buffers[0], b"not an image"], 64, n_threads=2
+    )
+    assert status[0] == 0 and status[1] != 0
+    assert (out[1] == 0).all()  # failed slot zero-filled
+
+
+def test_shard_loader_native_buffer_batch(tiny_image_tree, tmp_path):
+    """Eval over tar shards with the native backend serves identical batches
+    to the loose-file native path (the loader's buffer-batch branch)."""
+    from deepfakedetection_tpu.data.pipeline import make_eval_loader
+    from deepfakedetection_tpu.data.shards import write_shards
+
+    if not native.has_buffer_batch():
+        pytest.skip("library built without dfd_decode_buffer_batch_rc")
+    folder = scan_image_folder(tiny_image_tree / "val")
+    write_shards(folder, tmp_path / "val", images_per_shard=5)
+    shards = scan_image_folder(tmp_path / "val")
+    plan = build_eval_plan(32)
+    a = list(make_eval_loader(folder, plan, batch_size=4, use_native=True))
+    b = list(make_eval_loader(shards, plan, batch_size=4, use_native=True))
+    assert len(a) == len(b)
+    for ba, bb in zip(a, b):
+        np.testing.assert_array_equal(ba.images, bb.images)
+        np.testing.assert_array_equal(ba.labels, bb.labels)
+        np.testing.assert_array_equal(ba.mask, bb.mask)
