@@ -129,3 +129,93 @@ def test_stale_sidecar_with_wrong_geometry_is_ignored(tiny_image_tree, tmp_path)
     assert r2.epochs_run == 1  # normal epoch-granular resume, skip ignored
 
 
+
+
+@pytest.mark.slow
+def test_cli_sigterm_preemption_and_resume(tiny_image_tree, tmp_path):
+    """The production scenario end-to-end through the REAL CLI call stack:
+    a ``python -m tests.preempt_cli_worker`` subprocess (= what train.py
+    does, registry routed to the tiny CNN) gets a real SIGTERM mid-run,
+    exits 0 with a mid-epoch checkpoint + sidecar, and a plain rerun with
+    ``training.resume: continue`` finishes the run — exported weights
+    byte-identical to an uninterrupted control run."""
+    import subprocess
+    import sys
+    import time
+    from pathlib import Path
+
+    import yaml
+
+    repo = Path(__file__).resolve().parent.parent
+
+    def _cfg(path, out_dir):
+        cfg = {
+            "seed": 7,
+            "device": "cpu",
+            "data": {"root": str(tiny_image_tree), "num_classes": 2, "img_size": 32},
+            "models": {
+                "tiny_cnn": {
+                    "output_dir": str(out_dir),
+                    "training": {
+                        "epochs": 4, "batch_size": 8, "num_workers": 0,
+                        "warmup_epochs": 0, "resume": "continue",
+                    },
+                }
+            },
+            "selection": ["tiny_cnn"],
+        }
+        path.write_text(yaml.safe_dump(cfg))
+        return path
+
+    env = {k: v for k, v in os.environ.items() if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    env["PYTHONPATH"] = str(repo)
+
+    def _run(cfg_path, sigterm_after_marker=None, timeout=420):
+        proc = subprocess.Popen(
+            [sys.executable, "-u", "-m", "tests.preempt_cli_worker", str(cfg_path)],
+            cwd=repo, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, errors="replace",
+        )
+        lines = []
+        deadline = time.monotonic() + timeout
+        sent = sigterm_after_marker is None
+        while True:
+            line = proc.stdout.readline()
+            if line:
+                lines.append(line)
+                if not sent and sigterm_after_marker in line:
+                    proc.send_signal(signal.SIGTERM)
+                    sent = True
+            elif proc.poll() is not None:
+                break
+            if time.monotonic() > deadline:
+                proc.kill()
+                raise AssertionError("worker timed out:\n" + "".join(lines[-40:]))
+        assert sent, "marker never appeared:\n" + "".join(lines[-40:])
+        assert proc.returncode == 0, "".join(lines[-40:])
+        return "".join(lines)
+
+    # control: uninterrupted run
+    ctrl_out = tmp_path / "runs_ctrl"
+    _run(_cfg(tmp_path / "ctrl.yaml", ctrl_out))
+    (ctrl_pth,) = list(ctrl_out.rglob("tiny_cnn.pth"))
+    ctrl_hash = hashlib.sha256(ctrl_pth.read_bytes()).hexdigest()
+
+    # interrupted: real SIGTERM right after the fine-tune phase starts
+    int_out = tmp_path / "runs_int"
+    cfg = _cfg(tmp_path / "int.yaml", int_out)
+    log = _run(cfg, sigterm_after_marker="fine-tune:")
+    assert "preempted" in log
+    (run_dir,) = [d for d in int_out.iterdir() if d.is_dir()]
+    assert (run_dir / "checkpoints" / "latest.ckpt").exists()
+    assert (run_dir / "checkpoints" / "inprogress.json").exists()
+
+    # plain rerun: resume: continue reuses the run dir, skips the completed
+    # batches, finishes — byte-identical export
+    log2 = _run(cfg)
+    assert "resume: continue → reusing run dir" in log2
+    assert "mid-epoch resume: skipping" in log2
+    assert "✓ tiny_cnn" in log2
+    assert not (run_dir / "checkpoints" / "inprogress.json").exists()
+    (int_pth,) = list(int_out.rglob("tiny_cnn.pth"))
+    assert hashlib.sha256(int_pth.read_bytes()).hexdigest() == ctrl_hash
