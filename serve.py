@@ -202,6 +202,12 @@ class ServeState:
     ensemble_weights: dict[str, float] | None = None
     ensemble_enabled: bool = False
     ensemble_threshold: float | None = None
+    # decode request bytes with the native C++ library instead of PIL
+    # (--native-decode / DFD_NATIVE_EVAL=1): ~2x faster per request on
+    # JPEG/PNG, sub-1-LSB pixel differences from resampling-filter details
+    # (same tradeoff as the batch-eval DFD_NATIVE_EVAL switch); other
+    # formats fall back to PIL per request
+    native_decode: bool = False
 
     def by_name(self, name: str) -> ServedModel | None:
         for m in self.models:
@@ -267,6 +273,7 @@ def build_state(
     *,
     max_batch: int = 32,
     max_wait_ms: float = 5.0,
+    native_decode: bool | None = None,
 ) -> ServeState:
     """Load every selected model from an inference YAML (same resolution
     chain as the CLI eval / web UI: build_eval_job carries img_size
@@ -357,23 +364,57 @@ def build_state(
                    else "auto requested but no sweep record found — using argmax")
             )
         ens_threshold = float(thr) if thr is not None else None
+    from deepfakedetection_tpu.data import native as native_lib
+
+    if native_decode is None:
+        import os
+
+        native_decode = os.environ.get("DFD_NATIVE_EVAL") == "1"
+    native_decode = bool(native_decode) and native_lib.available() and native_lib.has_buffer_batch()
+    if native_decode:
+        print("[serve] native request decode enabled (C++ JPEG/PNG path)")
     return ServeState(
         models=served,
         class_labels=class_labels,
         ensemble_weights=(ens_cfg or {}).get("weights"),
         ensemble_enabled=ens_cfg is not None,
         ensemble_threshold=ens_threshold,
+        native_decode=native_decode,
     )
 
 
-def predict_once(state: ServeState, image: Image.Image, only: str | None = None):
-    """Fan an image out to the served models, gather scored results."""
+def _decode_request(plan, image: Image.Image, raw: bytes | None, native_decode: bool):
+    """One request decode for one model's plan: native C++ when enabled and
+    the bytes are JPEG/PNG (status 0), PIL otherwise (lazy full decode)."""
+    if native_decode and raw is not None:
+        from deepfakedetection_tpu.data import native
+
+        out, status = native.decode_buffer_batch(
+            [raw], plan.img_size, n_threads=1,
+            resize_target=plan.resize_size or plan.img_size,
+        )
+        if int(status[0]) == 0:
+            return out[0]
+    return decode_pil_eval(image, plan)
+
+
+def predict_once(
+    state: ServeState,
+    image: Image.Image,
+    only: str | None = None,
+    *,
+    raw: bytes | None = None,
+):
+    """Fan an image out to the served models, gather scored results.
+
+    ``raw`` (the request's encoded bytes) enables the native decode path
+    when the state was built with ``native_decode``."""
     targets = state.models if only is None else [m for m in state.models if m.name == only]
     if not targets:
         raise KeyError(only or "<none>")
     futs = []
     for m in targets:
-        arr = decode_pil_eval(image, m.plan)  # uint8 [S,S,3]
+        arr = _decode_request(m.plan, image, raw, state.native_decode)
         futs.append((m, m.batcher.submit(arr)))
     results = []
     member_probs: list[tuple[str, np.ndarray]] = []
@@ -465,13 +506,19 @@ class _Handler(BaseHTTPRequestHandler):
             else:
                 blob = body
             image = Image.open(io.BytesIO(blob))
-            image.load()
+            if self.state.native_decode:
+                # cheap integrity scan only; the native path decodes from
+                # the raw bytes and the PIL fallback re-opens lazily
+                image.verify()
+                image = Image.open(io.BytesIO(blob))
+            else:
+                image.load()
         except Exception as exc:
             self._send_json({"error": f"bad request: {exc}"}, 400)
             return
         t0 = time.perf_counter()
         try:
-            results = predict_once(self.state, image, only)
+            results = predict_once(self.state, image, only, raw=blob)
         except KeyError as exc:
             self._send_json({"error": f"unknown model {exc}"}, 404)
             return
@@ -515,13 +562,19 @@ def main() -> None:
         "--warmup", choices=["none", "first", "all"], default="first",
         help="pre-compile batch buckets at startup (first = batch-1 only)",
     )
+    parser.add_argument(
+        "--native-decode", action="store_true", default=None,
+        help="decode request bytes with the C++ library (~2x faster for "
+        "JPEG/PNG; default honors DFD_NATIVE_EVAL=1)",
+    )
     args = parser.parse_args()
 
     from deepfakedetection_tpu.runtime.compile_cache import enable as enable_cache
 
     enable_cache()
     state = build_state(
-        args.config, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms
+        args.config, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+        native_decode=args.native_decode,
     )
     state.warmup(args.warmup)
     server = build_server(

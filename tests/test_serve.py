@@ -344,3 +344,47 @@ def test_serve_ensemble_entry(tmp_path, monkeypatch):
         assert [r["model"] for r in only] == ["efficientnet_b3"]
     finally:
         state.close()
+
+
+def test_native_request_decode_matches_pil(tmp_path, monkeypatch):
+    """--native-decode path: probabilities match the PIL path to decode
+    noise; non-JPEG/PNG bodies fall back to PIL per request."""
+    from deepfakedetection_tpu.data import native
+
+    if not (native.available() and native.has_buffer_batch()):
+        pytest.skip("native loader not built")
+    cfg = {
+        "data": {"root": str(tmp_path / "data"), "num_classes": 2, "img_size": 32},
+        "models": {"efficientnet_b3": {"output_dir": str(tmp_path / "runs/a")}},
+    }
+    p = tmp_path / "cfg.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    import deepfakedetection_tpu.orchestrator as orchestrator
+
+    spec = tiny_spec()
+    monkeypatch.setattr(orchestrator, "get_model_spec", lambda name: spec)
+    monkeypatch.chdir(tmp_path)
+    state_pil = serve.build_state(p, max_batch=4, max_wait_ms=2.0, native_decode=False)
+    state_nat = serve.build_state(p, max_batch=4, max_wait_ms=2.0, native_decode=True)
+    assert not state_pil.native_decode and state_nat.native_decode
+    try:
+        # smooth gradient image: resampling-filter deltas stay sub-LSB
+        grad = np.linspace(0, 255, 48 * 56 * 3).reshape(48, 56, 3).astype(np.uint8)
+        img = Image.fromarray(grad)
+        buf = io.BytesIO()
+        img.save(buf, format="JPEG", quality=95)
+        raw = buf.getvalue()
+        r_pil = serve.predict_once(state_pil, Image.open(io.BytesIO(raw)), raw=raw)[0]
+        r_nat = serve.predict_once(state_nat, Image.open(io.BytesIO(raw)), raw=raw)[0]
+        np.testing.assert_allclose(r_nat["probs"], r_pil["probs"], atol=5e-3)
+
+        # BMP is not native-decodable → per-request PIL fallback, same result
+        buf2 = io.BytesIO()
+        img.save(buf2, format="BMP")
+        r_bmp = serve.predict_once(
+            state_nat, Image.open(io.BytesIO(buf2.getvalue())), raw=buf2.getvalue()
+        )[0]
+        assert r_bmp["probs"] == pytest.approx(r_pil["probs"], abs=5e-3)
+    finally:
+        state_pil.close()
+        state_nat.close()
