@@ -29,9 +29,38 @@ def timestamp_now() -> str:
     return datetime.now().strftime("%Y%m%d-%H%M%S")
 
 
+def sync_run_id(run_id: str) -> str:
+    """Every process adopts process 0's run id (no-op single-process).
+
+    Multihost runs execute the same orchestrate() call stack on every
+    process, and the orbax checkpoint save is COLLECTIVE — each process
+    writes its addressable shards into the same directory. A second
+    boundary between two processes' clocks would hand them different
+    timestamped run dirs and silently split every checkpoint across two
+    incomplete directories. Broadcast runs on the main thread before any
+    training collectives, so launch order stays consistent.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return run_id
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    buf = np.zeros(64, np.uint8)
+    raw = run_id.encode()
+    buf[: len(raw)] = np.frombuffer(raw, np.uint8)
+    synced = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    return bytes(synced).rstrip(b"\x00").decode()
+
+
 def ensure_run_dirs(base_output_dir: str | Path, *, run_id: str | None = None) -> RunPaths:
-    """Create a fresh timestamped run dir with the standard subdirs."""
-    root = Path(base_output_dir) / (run_id or timestamp_now())
+    """Create a fresh timestamped run dir with the standard subdirs.
+
+    Without an explicit ``run_id``, multihost runs agree on process 0's
+    timestamp (``sync_run_id``) so collective checkpoint saves land in ONE
+    directory."""
+    root = Path(base_output_dir) / (run_id or sync_run_id(timestamp_now()))
     paths = RunPaths(
         root=root,
         checkpoints=root / "checkpoints",

@@ -85,6 +85,11 @@ def test_two_process_sharded_train_syncs_gradients(tiny_image_tree, tmp_path):
     )
     assert "params" in tree and len(tree["params"]) > 0
 
+    # run-id sync: both workers fed divergent local ids; both must adopt
+    # process 0's (runtime/paths.sync_run_id — without it the collective
+    # saves above would target different timestamped run dirs)
+    assert r0["synced_run_id"] == r1["synced_run_id"] == "20240101-000000"
+
 
 @pytest.mark.slow
 def test_two_process_sharded_eval_matches_single_process(

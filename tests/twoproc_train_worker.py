@@ -151,6 +151,13 @@ def main() -> None:
     repl = jax.device_put(state.params, _NS(mesh, _P()))
     ckpt.export_weights(ckpt_dir / "weights.pth", repl)
 
+    # run-id sync: feed DIVERGENT per-process ids (simulating a clock-second
+    # boundary between hosts); every process must adopt process 0's — else
+    # the collective checkpoint saves above would split across two run dirs
+    from deepfakedetection_tpu.runtime.paths import sync_run_id
+
+    synced_run_id = sync_run_id(f"20240101-00000{pid}")
+
     with open(out_path, "w") as f:
         json.dump(
             {
@@ -159,6 +166,7 @@ def main() -> None:
                 "seen": seen,
                 "roundtrip_ok": roundtrip_ok,
                 "export_rejected": export_rejected,
+                "synced_run_id": synced_run_id,
                 "is_primary": pid == 0,
             },
             f,
