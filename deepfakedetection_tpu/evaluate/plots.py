@@ -12,7 +12,17 @@ from pathlib import Path
 import numpy as np
 
 
+def _primary() -> bool:
+    """Multihost: one writer per shared run dir (inputs are allgathered, so
+    every process would render the identical file)."""
+    import jax
+
+    return jax.process_index() == 0
+
+
 def save_confusion_matrix(cm: np.ndarray, labels: list[str], path: Path) -> bool:
+    if not _primary():
+        return False
     try:
         import matplotlib
 
@@ -31,6 +41,8 @@ def save_confusion_matrix(cm: np.ndarray, labels: list[str], path: Path) -> bool
 
 
 def save_roc_curve(y_true: np.ndarray, y_scores: np.ndarray, path: Path) -> bool:
+    if not _primary():
+        return False
     try:
         import matplotlib
 

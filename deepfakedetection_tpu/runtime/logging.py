@@ -76,7 +76,16 @@ class TeeStream:
 
 @contextlib.contextmanager
 def tee_output(log_path: Path) -> Iterator[None]:
-    """Mirror stdout+stderr into ``log_path`` for the scope of the block."""
+    """Mirror stdout+stderr into ``log_path`` for the scope of the block.
+
+    Multihost: the run dir is shared (checkpoint saves are collective, so
+    every process targets the same directory — runtime/paths.sync_run_id);
+    concurrent appends from several processes would interleave garbage into
+    one file, so non-primary processes tee into ``<name>.p<index>``."""
+    import jax
+
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        log_path = log_path.with_name(f"{log_path.name}.p{jax.process_index()}")
     log_path.parent.mkdir(parents=True, exist_ok=True)
     with log_path.open("a", encoding="utf-8") as fh:
         old_out, old_err = sys.stdout, sys.stderr
@@ -89,7 +98,15 @@ def tee_output(log_path: Path) -> Iterator[None]:
 
 
 def append_metrics(metrics_path: Path, record: dict[str, Any]) -> None:
-    """Append one JSON record to logs/metrics.jsonl (orchestrator.py:645-647)."""
+    """Append one JSON record to logs/metrics.jsonl (orchestrator.py:645-647).
+
+    Multihost: every process computes identical records (metrics are
+    allgathered), so only process 0 writes — concurrent appends to one
+    shared file would duplicate and interleave lines."""
+    import jax
+
+    if jax.process_index() != 0:
+        return
     metrics_path.parent.mkdir(parents=True, exist_ok=True)
     with metrics_path.open("a", encoding="utf-8") as fh:
         fh.write(json.dumps(record) + "\n")

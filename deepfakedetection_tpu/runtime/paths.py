@@ -77,8 +77,14 @@ def snapshot_config(
 ) -> Path:
     """Write config_snapshot.yaml: globals minus models/selection + this model's block.
 
-    Mirrors reference orchestrator.py:148-159.
+    Mirrors reference orchestrator.py:148-159. Multihost: primary-only
+    (all processes hold the identical validated config and the run dir is
+    shared — see sync_run_id).
     """
+    import jax
+
+    if jax.process_index() != 0:
+        return run_paths.root / "config_snapshot.yaml"
     snapshot = {
         k: copy.deepcopy(v)
         for k, v in config.items()

@@ -90,6 +90,14 @@ def test_two_process_sharded_train_syncs_gradients(tiny_image_tree, tmp_path):
     # saves above would target different timestamped run dirs)
     assert r0["synced_run_id"] == r1["synced_run_id"] == "20240101-000000"
 
+    # shared-run-dir artifact hygiene: exactly one metrics writer (primary),
+    # per-process tee files instead of one interleaved log
+    logs = tmp_path / "shared_logs"
+    lines = [json.loads(x) for x in (logs / "metrics.jsonl").read_text().splitlines()]
+    assert lines == [{"p": 0}]
+    assert "tee check p0" in (logs / "train.log").read_text()
+    assert "tee check p1" in (logs / "train.log.p1").read_text()
+
 
 @pytest.mark.slow
 def test_two_process_sharded_eval_matches_single_process(

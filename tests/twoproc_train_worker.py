@@ -158,6 +158,16 @@ def main() -> None:
 
     synced_run_id = sync_run_id(f"20240101-00000{pid}")
 
+    # shared-run-dir artifact hygiene: metrics.jsonl is primary-only (both
+    # processes compute identical records) and the console tee splits into
+    # per-process files instead of interleaving one
+    from deepfakedetection_tpu.runtime.logging import append_metrics, tee_output
+
+    logs_dir = Path(out_path).parent / "shared_logs"
+    append_metrics(logs_dir / "metrics.jsonl", {"p": pid})
+    with tee_output(logs_dir / "train.log"):
+        print(f"tee check p{pid}")
+
     with open(out_path, "w") as f:
         json.dump(
             {
