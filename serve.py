@@ -522,6 +522,12 @@ class _Handler(BaseHTTPRequestHandler):
         except KeyError as exc:
             self._send_json({"error": f"unknown model {exc}"}, 404)
             return
+        except OSError as exc:
+            # native mode defers the full pixel decode past the handler's
+            # cheap verify(); a truncated body surfaces here as PIL's
+            # OSError — still the client's fault, still a 400
+            self._send_json({"error": f"bad request: {exc}"}, 400)
+            return
         except Exception as exc:
             self._send_json({"error": f"inference failed: {exc}"}, 500)
             return

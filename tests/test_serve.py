@@ -388,3 +388,41 @@ def test_native_request_decode_matches_pil(tmp_path, monkeypatch):
     finally:
         state_pil.close()
         state_nat.close()
+
+
+def test_native_mode_truncated_body_is_still_400(tmp_path, monkeypatch):
+    """A truncated JPEG passes the cheap header verify in native mode; the
+    deferred pixel decode failure must still map to 400, not 500."""
+    from deepfakedetection_tpu.data import native
+
+    if not (native.available() and native.has_buffer_batch()):
+        pytest.skip("native loader not built")
+    cfg = {
+        "data": {"root": str(tmp_path / "data"), "num_classes": 2, "img_size": 32},
+        "models": {"efficientnet_b3": {"output_dir": str(tmp_path / "runs/a")}},
+    }
+    p = tmp_path / "cfg.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    import deepfakedetection_tpu.orchestrator as orchestrator
+
+    monkeypatch.setattr(orchestrator, "get_model_spec", lambda name: tiny_spec())
+    monkeypatch.chdir(tmp_path)
+    state = serve.build_state(p, max_batch=4, max_wait_ms=2.0, native_decode=True)
+    server = serve.build_server(p, port=0, state=state)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    host, port = server.server_address[:2]
+    try:
+        # header-complete but pixel-truncated JPEG
+        full = _jpeg_bytes()
+        truncated = full[: len(full) // 2]
+        req = urllib.request.Request(
+            f"http://{host}:{port}/predict", data=truncated, method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(req, timeout=60)
+        assert exc_info.value.code == 400
+    finally:
+        server.shutdown()
+        thread.join(timeout=10)
+        state.close()
