@@ -461,6 +461,35 @@ def predict_once(
     return results
 
 
+def prometheus_text(state: ServeState) -> str:
+    """Render the batcher stats in Prometheus exposition format (the
+    ``/metrics`` endpoint — scrapeable by any standard monitoring stack;
+    dependency-free like the rest of the server)."""
+    lines = [
+        "# HELP dfd_requests_total Images scored since startup.",
+        "# TYPE dfd_requests_total counter",
+        "# HELP dfd_batches_total Device steps executed since startup.",
+        "# TYPE dfd_batches_total counter",
+        "# HELP dfd_mean_batch_size Mean coalesced batch size.",
+        "# TYPE dfd_mean_batch_size gauge",
+        "# HELP dfd_request_latency_ms Request latency quantiles (ms).",
+        "# TYPE dfd_request_latency_ms summary",
+    ]
+    for m in state.models:
+        s = m.batcher.stats()
+        tag = f'{{model="{m.name}"}}'
+        lines.append(f"dfd_requests_total{tag} {s['requests']}")
+        lines.append(f"dfd_batches_total{tag} {s['batches']}")
+        lines.append(f"dfd_mean_batch_size{tag} {s['mean_batch']:.4f}")
+        for q, key in (("0.5", "latency_ms_p50"), ("0.99", "latency_ms_p99")):
+            if key in s:
+                lines.append(
+                    f'dfd_request_latency_ms{{model="{m.name}",quantile="{q}"}} '
+                    f"{s[key]:.4f}"
+                )
+    return "\n".join(lines) + "\n"
+
+
 class _Handler(BaseHTTPRequestHandler):
     state: ServeState  # set by build_server
 
@@ -484,6 +513,13 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_json(
                 {m.name: m.batcher.stats() for m in self.state.models}
             )
+        elif self.path.startswith("/metrics"):
+            body = prometheus_text(self.state).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain; version=0.0.4")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
         else:
             self._send_json({"error": f"unknown path {self.path}"}, 404)
 
@@ -594,6 +630,12 @@ def main() -> None:
     host, port = server.server_address[:2]
     print(f"[serve] listening on http://{host}:{port} "
           f"(max_batch={args.max_batch}, max_wait_ms={args.max_wait_ms})")
+    # graceful SIGTERM (TPU maintenance/spot reclaim, container stop):
+    # stop accepting, drain in-flight batches, exit 0
+    import signal
+
+    signal.signal(signal.SIGTERM, lambda s, f: threading.Thread(
+        target=server.shutdown, daemon=True).start())
     try:
         server.serve_forever()
     except KeyboardInterrupt:
@@ -601,6 +643,7 @@ def main() -> None:
     finally:
         server.shutdown()
         state.close()
+        print("[serve] drained and stopped")
 
 
 if __name__ == "__main__":

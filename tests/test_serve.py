@@ -426,3 +426,28 @@ def test_native_mode_truncated_body_is_still_400(tmp_path, monkeypatch):
         server.shutdown()
         thread.join(timeout=10)
         state.close()
+
+
+def test_metrics_endpoint_prometheus_format(serve_state):
+    from pathlib import Path
+
+    server = serve.build_server(Path("unused.yaml"), port=0, state=serve_state)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    host, port = server.server_address[:2]
+    try:
+        # score one image so counters are non-zero
+        req = urllib.request.Request(
+            f"http://{host}:{port}/predict", data=_jpeg_bytes(), method="POST"
+        )
+        urllib.request.urlopen(req, timeout=60).read()
+        with urllib.request.urlopen(f"http://{host}:{port}/metrics", timeout=30) as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+            text = r.read().decode()
+        assert '# TYPE dfd_requests_total counter' in text
+        assert 'dfd_requests_total{model="efficientnet_b3"} 1' in text
+        assert 'dfd_request_latency_ms{model="efficientnet_b3",quantile="0.5"}' in text
+    finally:
+        server.shutdown()
+        thread.join(timeout=10)
+        serve_state.close()
