@@ -342,7 +342,12 @@ def orchestrate(config_path: str | Path, mode: str = "training") -> None:
     # opt-in softmax-averaged ensemble over the selection's eval results
     # (TPU extension; evaluate/ensemble.py — the reference never combines)
     ens_cfg = _ensemble_cfg(config)
-    if mode == "inference" and ens_cfg is not None:
+    evaluated = sum(1 for r in eval_results.values() if r is not None)
+    if mode == "inference" and ens_cfg is not None and evaluated < 2:
+        console.print(
+            f"[yellow]⚠ ensemble skipped: {evaluated} evaluated model(s), need ≥2[/]"
+        )
+    elif mode == "inference" and ens_cfg is not None:
         from deepfakedetection_tpu.evaluate.ensemble import run_ensemble
 
         ens_paths = ensure_run_dirs(

@@ -228,3 +228,63 @@ def test_orchestrate_runs_ensemble_after_inference(
     )
     orch.orchestrate(cfg_path, mode="training")
     assert len(sorted((out / "ensemble").iterdir())) == 1
+
+
+def test_orchestrate_single_model_ensemble_makes_no_run_dir(
+    tiny_image_tree, tmp_path, monkeypatch
+):
+    """ensemble: true with <2 evaluated models must not leave an empty
+    runs/ensemble/<ts>/ dir behind."""
+    from tests.util import tiny_spec
+
+    monkeypatch.setattr(orch, "get_model_spec", lambda name: tiny_spec())
+    monkeypatch.setattr(
+        orch, "run_eval_job",
+        lambda job: _result([0.2, 0.8], [0, 1]),
+    )
+    out = tmp_path / "runs"
+    cfg = {
+        "seed": 1,
+        "device": "cpu",
+        "data": {"root": str(tiny_image_tree), "num_classes": 2, "img_size": 32},
+        "models": {"m_a": {"output_dir": str(out / "m_a")}},
+        "ensemble": {"output_dir": str(out / "ensemble")},
+    }
+    cfg_path = tmp_path / "c.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    orch.orchestrate(cfg_path, mode="inference")
+    assert not (out / "ensemble").exists()
+
+
+def test_serve_ensemble_threshold_auto_reads_sweep(tmp_path, monkeypatch):
+    """serve: ensemble.threshold: auto picks up the latest ensemble eval
+    sweep's decision threshold from runs/ensemble/*/logs/metrics.jsonl."""
+    import serve
+    from tests.util import tiny_spec
+
+    ens_out = tmp_path / "runs" / "ensemble"
+    logs = ens_out / "20240101-000000" / "logs"
+    logs.mkdir(parents=True)
+    (logs / "metrics.jsonl").write_text(
+        json.dumps({"model": "ensemble", "threshold": 0.73,
+                    "timestamp": "2024-01-01T00:00:00"}) + "\n"
+    )
+    cfg = {
+        "data": {"root": str(tmp_path / "data"), "num_classes": 2, "img_size": 32},
+        "models": {
+            "efficientnet_b3": {"output_dir": str(tmp_path / "runs/a")},
+            "efficientformerv2_s1": {"output_dir": str(tmp_path / "runs/b")},
+        },
+        "ensemble": {"threshold": "auto", "output_dir": str(ens_out)},
+    }
+    p = tmp_path / "cfg.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    import deepfakedetection_tpu.orchestrator as orchestrator
+
+    monkeypatch.setattr(orchestrator, "get_model_spec", lambda name: tiny_spec())
+    monkeypatch.chdir(tmp_path)
+    state = serve.build_state(p, max_batch=4, max_wait_ms=2.0)
+    try:
+        assert state.ensemble_threshold == 0.73
+    finally:
+        state.close()
