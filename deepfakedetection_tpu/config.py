@@ -95,6 +95,11 @@ class TrainingConfig(BaseModel):
     img_size: int | None = None
     transforms: dict[str, Any] | None = None
     resume: str | bool | None = None
+    # TPU extension: start the fine-tune from pretrained backbone weights
+    # (torch .pth — converted on load — or native msgpack); the fresh head
+    # is kept where shapes differ, matching the reference's from_pretrained
+    # + head-swap semantics. None = random init.
+    init_weights: str | None = None
     # TPU extension: exponential moving average of the fine-tune weights
     # (None = off = reference behavior); see train/loop.py TrainJob.ema_decay
     ema_decay: float | None = None

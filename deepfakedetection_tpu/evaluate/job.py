@@ -126,9 +126,7 @@ def _maybe_download_weights(model_name: str, wpath: Path) -> None:
 
 
 def _is_torch_checkpoint(path: Path) -> bool:
-    with path.open("rb") as f:
-        magic = f.read(2)
-    return magic[:2] == b"PK" or magic[:1] == b"\x80"
+    return ckpt.is_torch_checkpoint(path)
 
 
 def load_model_for_eval(job: EvalJob):

@@ -165,6 +165,11 @@ def build_train_job(
             else None
         ),
         resume_auto=_parse_resume(train_cfg.get("resume")),
+        init_weights=(
+            _resolve_path(train_cfg["init_weights"])
+            if train_cfg.get("init_weights")
+            else None
+        ),
         seed=config.get("seed"),
         profile_dir=config.get("profile_dir"),
         remat=bool(train_cfg.get("remat", False)),

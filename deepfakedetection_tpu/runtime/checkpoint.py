@@ -299,6 +299,13 @@ def export_weights(path: Path, params: Any, batch_stats: Any | None = None) -> P
     return path
 
 
+def is_torch_checkpoint(path: Path) -> bool:
+    """True when the file is a PyTorch checkpoint (zip or legacy pickle)."""
+    with Path(path).open("rb") as f:
+        magic = f.read(2)
+    return magic[:2] == b"PK" or magic[:1] == b"\x80"
+
+
 def load_weights(path: Path, target: dict[str, Any], *, model_family: str | None = None):
     """Load bare weights from native msgpack or a PyTorch .pth checkpoint.
 

@@ -113,6 +113,13 @@ class TrainJob:
     # snapshotted on device first — donation-safe (runtime/checkpoint.py
     # AsyncSaver); failures surface at the end-of-training drain.
     async_checkpoint: bool = False
+    # start the fine-tune from pretrained backbone weights (a converted
+    # torch ``.pth`` or a native msgpack export), strict=False: the
+    # freshly built head keeps its init where shapes differ — the TPU
+    # analogue of the reference's pretrained start + head swap
+    # (efficientnet.py:405-410, fastervit.py:371, efficientformer_v2.py:327).
+    # None = random init (the only choice in zero-egress environments).
+    init_weights: Path | str | None = None
     # extra builder kwargs (e.g. fastervit head_config: "tpu"|"official")
     model_kwargs: dict[str, Any] = field(default_factory=dict)
 
@@ -126,6 +133,50 @@ class TrainResult:
     # SIGTERM arrived mid-run: a resumable mid-epoch checkpoint was saved
     # and the orchestrator should stop dispatching further models
     interrupted: bool = False
+
+
+def resolve_init_weights(job: TrainJob) -> Path | None:
+    """Validate ``training.init_weights`` up front (hard-fail beats training
+    from random init when the user asked for a pretrained start)."""
+    if not job.init_weights:
+        return None
+    wpath = Path(job.init_weights)
+    if not wpath.exists():
+        raise SystemExit(
+            f"training.init_weights not found: {wpath}\n"
+            "Point it at a torch .pth checkpoint (converted on load) or a "
+            "native msgpack export, or remove the key to train from random init."
+        )
+    return wpath
+
+
+def apply_init_weights(job: TrainJob, wpath: Path, params, batch_stats):
+    """Load pretrained backbone weights into a fresh init (strict=False).
+
+    TPU analogue of the reference trainers' pretrained start: each trainer
+    builds an ImageNet-pretrained backbone and swaps in a fresh head
+    (efficientnet.py:405-410, fastervit.py:371, efficientformer_v2.py:327).
+    Here the mismatched-shape leaves — the swapped classifier head — keep
+    their fresh init, so a 1000-class ImageNet export initializes a 2-class
+    fine-tune exactly like the reference's from_pretrained + head swap.
+    """
+    target = {
+        "params": jax.device_get(params),
+        "batch_stats": jax.device_get(batch_stats),
+    }
+    restored, unmatched = ckpt.load_weights(
+        wpath, target, model_family=job.spec.family
+    )
+    n_total = len(jax.tree.leaves(target))
+    console.print(f"  init weights ← {wpath} ({n_total} target tensors)")
+    if unmatched:
+        # msgpack path: target leaves kept at init; torch path: unmapped
+        # source keys — either way it is the strict=False head-swap residue
+        console.print(
+            f"[yellow]  {len(unmatched)} unmatched "
+            f"(head swap / strict=False): {unmatched[:4]}…[/]"
+        )
+    return restored.get("params", params), restored.get("batch_stats", batch_stats)
 
 
 def _counters_tree(epoch: int, best_val_acc: float, best_epoch: int, warmup_done: bool):
@@ -222,11 +273,31 @@ def _run_training(job: TrainJob) -> TrainResult:
     job.batch_size = -(-job.batch_size // n_data) * n_data
 
     # ----- model ----------------------------------------------------------
+    init_wpath = resolve_init_weights(job)
+    if (
+        init_wpath is not None
+        and job.spec.family == "fastervit"
+        and "head_config" not in job.model_kwargs
+        and ckpt.is_torch_checkpoint(init_wpath)
+    ):
+        # a genuine torch checkpoint implies the wheel's configuration —
+        # same rule as the eval loader (evaluate/job.py load_model_for_eval)
+        job.model_kwargs["head_config"] = "official"
+        console.print(
+            "  torch init checkpoint detected → faster_vit head_config='official'"
+        )
     model = job.spec.builder(job.num_classes, dtype=job.compute_dtype, **job.model_kwargs)
     params, batch_stats = init_model_variables(
         model, jax.random.key(0 if job.seed is None else job.seed),
         (1, job.img_size, job.img_size, 3),
     )
+    if init_wpath is not None:
+        if job.resume_auto and ckpt.has_latest(job.run_paths.checkpoints):
+            console.print("  resume checkpoint present — skipping init_weights")
+        else:
+            params, batch_stats = apply_init_weights(
+                job, init_wpath, params, batch_stats
+            )
     console.print(
         f"[bold]→ training {job.model_name}[/] | params="
         f"{sum(x.size for x in jax.tree.leaves(params)) / 1e6:.2f}M | "
