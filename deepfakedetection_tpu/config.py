@@ -100,6 +100,11 @@ class TrainingConfig(BaseModel):
     # is kept where shapes differ, matching the reference's from_pretrained
     # + head-swap semantics. None = random init.
     init_weights: str | None = None
+    # TPU extension: override the recipe's fine-tune unfreeze policy —
+    # "all", or name substrings (the reference's UNFREEZE_KEYS semantics,
+    # efficientformer_v2.py:66-74, hardcoded per trainer there). E.g.
+    # unfreeze: [head] is a linear probe over init_weights. None = recipe.
+    unfreeze: str | list[str] | None = None
     # TPU extension: exponential moving average of the fine-tune weights
     # (None = off = reference behavior); see train/loop.py TrainJob.ema_decay
     ema_decay: float | None = None

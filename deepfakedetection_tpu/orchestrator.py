@@ -43,6 +43,25 @@ def _parse_resume(value: Any) -> bool:
     return False
 
 
+def _parse_unfreeze(value: Any) -> str | tuple[str, ...] | None:
+    """training.unfreeze: "all", a substring, or a list of substrings
+    (UNFREEZE_KEYS semantics); None defers to the model recipe."""
+    if value is None:
+        return None
+    if isinstance(value, str):
+        v = value.strip()
+        if not v:
+            raise SystemExit("training.unfreeze must not be empty")
+        return "all" if v.lower() == "all" else (v,)
+    subs = tuple(str(s).strip() for s in value)
+    if not subs or any(not s for s in subs):
+        raise SystemExit(
+            "training.unfreeze must be 'all' or a non-empty list of "
+            "parameter-name substrings"
+        )
+    return subs
+
+
 def _resolve_run_paths(model_cfg: dict[str, Any], output_dir: Path, mode: str):
     """Fresh timestamped run dir per invocation (reference semantics,
     orchestrator.py:682-684) — unless ``training.resume: continue``.
@@ -170,6 +189,7 @@ def build_train_job(
             if train_cfg.get("init_weights")
             else None
         ),
+        unfreeze=_parse_unfreeze(train_cfg.get("unfreeze")),
         seed=config.get("seed"),
         profile_dir=config.get("profile_dir"),
         remat=bool(train_cfg.get("remat", False)),

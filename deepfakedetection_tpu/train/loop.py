@@ -120,6 +120,11 @@ class TrainJob:
     # (efficientnet.py:405-410, fastervit.py:371, efficientformer_v2.py:327).
     # None = random init (the only choice in zero-egress environments).
     init_weights: Path | str | None = None
+    # override the recipe's fine-tune unfreeze policy: "all" or substrings
+    # (UNFREEZE_KEYS semantics, ref efficientformer_v2.py:66-74 — hardcoded
+    # per trainer there, configurable here). ("head",) + init_weights is a
+    # linear probe. None = the recipe's policy (reference behavior).
+    unfreeze: str | tuple[str, ...] | None = None
     # extra builder kwargs (e.g. fastervit head_config: "tpu"|"official")
     model_kwargs: dict[str, Any] = field(default_factory=dict)
 
@@ -148,6 +153,17 @@ def resolve_init_weights(job: TrainJob) -> Path | None:
             "native msgpack export, or remove the key to train from random init."
         )
     return wpath
+
+
+def adopts_official_head(job: TrainJob, wpath: Path) -> bool:
+    """A genuine torch init checkpoint implies the wheel's FasterViT
+    configuration — same rule as the eval loader (evaluate/job.py
+    load_model_for_eval); an explicit head_config always wins."""
+    return (
+        job.spec.family == "fastervit"
+        and "head_config" not in job.model_kwargs
+        and ckpt.is_torch_checkpoint(wpath)
+    )
 
 
 def apply_init_weights(job: TrainJob, wpath: Path, params, batch_stats):
@@ -274,14 +290,7 @@ def _run_training(job: TrainJob) -> TrainResult:
 
     # ----- model ----------------------------------------------------------
     init_wpath = resolve_init_weights(job)
-    if (
-        init_wpath is not None
-        and job.spec.family == "fastervit"
-        and "head_config" not in job.model_kwargs
-        and ckpt.is_torch_checkpoint(init_wpath)
-    ):
-        # a genuine torch checkpoint implies the wheel's configuration —
-        # same rule as the eval loader (evaluate/job.py load_model_for_eval)
+    if init_wpath is not None and adopts_official_head(job, init_wpath):
         job.model_kwargs["head_config"] = "official"
         console.print(
             "  torch init checkpoint detected → faster_vit head_config='official'"
@@ -401,13 +410,21 @@ def _run_training(job: TrainJob) -> TrainResult:
     final_loss = 0.0
 
     # ----- fine-tune optimizer (also the resume target) -------------------
+    unfreeze_policy = job.unfreeze if job.unfreeze is not None else recipe.unfreeze
     ft_tx, n_train, n_total = make_phase_optimizer(
         params,
         lr=epoch_cosine_schedule(ft_lr, epochs, steps_per_epoch),
         weight_decay=ft_wd,
-        trainable=unfreeze_predicate(recipe.unfreeze),
+        trainable=unfreeze_predicate(unfreeze_policy),
         grad_clip_norm=job.grad_clip_norm,
     )
+    if n_train == 0:
+        raise SystemExit(
+            f"training.unfreeze {unfreeze_policy!r} matches no parameter of "
+            f"{job.model_name} — the fine-tune would train nothing. Use 'all' "
+            "or substrings of actual parameter names (see the trainable list "
+            "in the train log)."
+        )
     ft_state = TrainState(
         params=params,
         batch_stats=batch_stats,
