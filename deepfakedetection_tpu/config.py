@@ -46,6 +46,10 @@ class InferenceConfig(BaseModel):
     # TPU extension: test-time augmentation — None (default) or "hflip"
     # (average softmax probs over the horizontal flip; ~2x eval compute)
     tta: str | None = None
+    # TPU extension: probability calibration — None (default) or
+    # "temperature" (fit T on the val pass, report calibrated test
+    # probabilities + ECE in metrics.jsonl; evaluate/metrics.py)
+    calibration: str | None = None
     # TPU extension (serve.py): binary decision threshold — a float in
     # [0, 1], or "auto" to read the newest eval sweep's choice from the
     # model's run dirs. Ignored by the batch-eval job (which sweeps).
@@ -85,6 +89,15 @@ class InferenceConfig(BaseModel):
             raise ValueError(f"inference.tta must be 'hflip' or null, got {value!r}")
         return value
 
+    @field_validator("calibration")
+    @classmethod
+    def _calibration_supported(cls, value: str | None) -> str | None:
+        if value is not None and str(value).lower() not in ("temperature",):
+            raise ValueError(
+                f"inference.calibration must be 'temperature' or null, got {value!r}"
+            )
+        return value
+
 
 class TrainingConfig(BaseModel):
     model_config = ConfigDict(extra="allow")
@@ -113,6 +126,26 @@ class TrainingConfig(BaseModel):
     # TPU extension: Mixup/CutMix batch mixing (0 = off = reference)
     mixup_alpha: float = 0.0
     cutmix_alpha: float = 0.0
+    # TPU extension: class-weighted CE for imbalanced data — "auto"
+    # (sklearn-"balanced" N/(C·count_c) from the train split) or per-class
+    # floats in alphabetical class order. None = unweighted = reference.
+    class_weights: str | list[float] | None = None
+
+    @field_validator("class_weights")
+    @classmethod
+    def _class_weights_valid(cls, value):
+        if value is None:
+            return value
+        if isinstance(value, str):
+            if value.lower() != "auto":
+                raise ValueError(
+                    f"class_weights must be 'auto' or a list of positive floats, got {value!r}"
+                )
+            return value.lower()
+        weights = [float(v) for v in value]
+        if not weights or any(not w > 0.0 for w in weights):
+            raise ValueError(f"class_weights must all be > 0, got {value!r}")
+        return weights
 
     @field_validator("mixup_alpha", "cutmix_alpha")
     @classmethod

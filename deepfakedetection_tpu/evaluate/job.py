@@ -64,6 +64,12 @@ class EvalJob:
     # test-time augmentation: None (reference behavior) or "hflip" —
     # softmax probs averaged over the horizontal flip (train/steps.py)
     tta: str | None = None
+    # probability calibration: None (reference behavior) or "temperature" —
+    # fit T on the val pass (Guo et al. temperature scaling, exact from
+    # saved softmax rows) and report test probabilities/ECE at that T.
+    # Binary decisions are unchanged in effect: the transform is monotone
+    # and the threshold is swept on the calibrated val distribution.
+    calibration: str | None = None
     # extra builder kwargs (e.g. fastervit head_config: "tpu"|"official")
     model_kwargs: dict[str, Any] = field(default_factory=dict)
 
@@ -303,7 +309,10 @@ def _eval_passes(job, params, batch_stats, eval_step, plan, mesh, *, int8_active
     # ---- binary decision-threshold sweep on val (orchestrator.py:513-546)
     best_threshold = 0.5
     vprobs = vtargets = None
-    if job.num_classes == 2:
+    want_calibration = str(job.calibration or "").lower() == "temperature"
+    # the val pass feeds the binary threshold sweep; calibration reuses it
+    # (and is the only reason to run it for multiclass)
+    if job.num_classes == 2 or want_calibration:
         val_path = job.data_root / job.val_split
         if val_path.exists():
             try:
@@ -318,8 +327,26 @@ def _eval_passes(job, params, batch_stats, eval_step, plan, mesh, *, int8_active
                 vprobs, vtargets, _ = _collect_probs(
                     eval_step, params, batch_stats, val_loader, plan, mesh, job.compute_dtype
                 )
-                if vprobs.size:
-                    best_threshold = sweep_threshold(vprobs[:, 1], vtargets)
+
+    # ---- optional temperature calibration (TPU serving extension) ---------
+    temperature = None
+    if want_calibration:
+        if vprobs is not None and vprobs.size:
+            from deepfakedetection_tpu.evaluate.metrics import fit_temperature
+
+            temperature = fit_temperature(vprobs, vtargets)
+            console.print(f"  calibration: temperature T={temperature:.4f} (fit on val)")
+        else:
+            console.print(
+                "[yellow]⚠ calibration requested but no val pass ran — "
+                "probabilities stay uncalibrated[/]"
+            )
+    if temperature is not None and vprobs is not None and vprobs.size:
+        from deepfakedetection_tpu.evaluate.metrics import apply_temperature
+
+        vprobs = apply_temperature(vprobs, temperature)
+    if job.num_classes == 2 and vprobs is not None and vprobs.size:
+        best_threshold = sweep_threshold(vprobs[:, 1], vtargets)
 
     # ---- test pass --------------------------------------------------------
     test_path = job.data_root / job.split
@@ -340,6 +367,16 @@ def _eval_passes(job, params, batch_stats, eval_step, plan, mesh, *, int8_active
         eval_step, params, batch_stats, loader, plan, mesh, job.compute_dtype
     )
     console.print(f"  eval throughput: {speed:.1f} img/s")
+
+    ece_raw = None
+    if temperature is not None and probs.size:
+        from deepfakedetection_tpu.evaluate.metrics import (
+            apply_temperature,
+            expected_calibration_error,
+        )
+
+        ece_raw = expected_calibration_error(probs, targets)
+        probs = apply_temperature(probs, temperature)
 
     if job.num_classes == 2:
         preds = (probs[:, 1] >= best_threshold).astype(np.int64)
@@ -365,6 +402,13 @@ def _eval_passes(job, params, batch_stats, eval_step, plan, mesh, *, int8_active
         metrics["threshold"] = float(best_threshold)
     if int8_active:
         metrics["precision"] = "int8"
+    if temperature is not None:
+        from deepfakedetection_tpu.evaluate.metrics import expected_calibration_error
+
+        metrics["temperature"] = float(temperature)
+        if ece_raw is not None:
+            metrics["ece_uncalibrated"] = ece_raw
+            metrics["ece"] = expected_calibration_error(probs, targets)
 
     cm = confusion(targets, preds, num_classes=job.num_classes)
     metrics["confusion_matrix"] = cm.tolist()

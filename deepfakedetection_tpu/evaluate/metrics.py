@@ -31,6 +31,87 @@ def sweep_threshold(scores: np.ndarray, targets: np.ndarray) -> float:
     return float(thresholds[int(np.argmax(balanced))])
 
 
+def expected_calibration_error(
+    probs: np.ndarray, targets: np.ndarray, n_bins: int = 15
+) -> float:
+    """ECE over max-probability confidence (equal-width bins, Guo et al. '17).
+
+    TPU-framework serving extension (the reference reports no calibration
+    metrics): production deepfake pipelines act on the *probability* (review
+    queues, score fusion), so how honest the softmax confidence is matters
+    beyond accuracy. ``probs`` is [N, C] softmax rows.
+    """
+    probs = np.asarray(probs, np.float64)
+    targets = np.asarray(targets, np.int64)
+    if probs.size == 0:
+        return 0.0
+    conf = probs.max(axis=-1)
+    correct = probs.argmax(axis=-1) == targets
+    # right-inclusive bins over (0, 1]; conf >= 1/C > 0 so digitize is safe
+    edges = np.linspace(0.0, 1.0, n_bins + 1)
+    idx = np.clip(np.digitize(conf, edges[1:-1], right=True), 0, n_bins - 1)
+    ece = 0.0
+    for b in range(n_bins):
+        in_bin = idx == b
+        n = int(in_bin.sum())
+        if n == 0:
+            continue
+        ece += (n / len(conf)) * abs(correct[in_bin].mean() - conf[in_bin].mean())
+    return float(ece)
+
+
+def fit_temperature(
+    probs: np.ndarray, targets: np.ndarray, bounds: tuple[float, float] = (0.05, 20.0)
+) -> float:
+    """Temperature that minimizes NLL of ``softmax(logits / T)`` on held-out
+    rows (Guo et al. '17 temperature scaling).
+
+    Works from saved softmax probs: ``log(p)`` equals the logits up to a
+    per-row constant, and softmax is invariant to per-row constants, so the
+    fit is exact without re-running the model. Scalar golden-section search
+    over log-T (the NLL is unimodal in T for a fixed direction).
+    """
+    probs = np.asarray(probs, np.float64)
+    targets = np.asarray(targets, np.int64)
+    if probs.size == 0:
+        return 1.0
+    logit = np.log(np.clip(probs, 1e-12, 1.0))
+
+    def nll(log_t: float) -> float:
+        z = logit / np.exp(log_t)
+        z = z - z.max(axis=-1, keepdims=True)
+        logp = z - np.log(np.exp(z).sum(axis=-1, keepdims=True))
+        return float(-logp[np.arange(len(targets)), targets].mean())
+
+    lo, hi = np.log(bounds[0]), np.log(bounds[1])
+    inv_phi = (np.sqrt(5.0) - 1.0) / 2.0
+    a, b = lo, hi
+    c, d = b - inv_phi * (b - a), a + inv_phi * (b - a)
+    fc, fd = nll(c), nll(d)
+    for _ in range(60):  # |b-a| shrinks ~0.618^60: far below fp tolerance
+        if fc < fd:
+            b, d, fd = d, c, fc
+            c = b - inv_phi * (b - a)
+            fc = nll(c)
+        else:
+            a, c, fc = c, d, fd
+            d = a + inv_phi * (b - a)
+            fd = nll(d)
+    return float(np.exp((a + b) / 2.0))
+
+
+def apply_temperature(probs: np.ndarray, temperature: float) -> np.ndarray:
+    """Re-softmax saved probability rows at ``temperature`` (exact — see
+    fit_temperature). T=1 is the identity up to clipping noise."""
+    probs = np.asarray(probs, np.float64)
+    if probs.size == 0 or temperature == 1.0:
+        return probs
+    z = np.log(np.clip(probs, 1e-12, 1.0)) / float(temperature)
+    z = z - z.max(axis=-1, keepdims=True)
+    e = np.exp(z)
+    return e / e.sum(axis=-1, keepdims=True)
+
+
 def confusion(targets: np.ndarray, preds: np.ndarray, num_classes: int | None = None) -> np.ndarray:
     """Confusion matrix sized to cover every RAW label value (indexing is by
     label, so missing/non-contiguous classes must not shrink the matrix)."""

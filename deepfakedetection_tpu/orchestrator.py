@@ -208,6 +208,11 @@ def build_train_job(
         ),
         mixup_alpha=float(train_cfg.get("mixup_alpha", 0.0) or 0.0),
         cutmix_alpha=float(train_cfg.get("cutmix_alpha", 0.0) or 0.0),
+        class_weights=(
+            tuple(float(w) for w in train_cfg["class_weights"])
+            if isinstance(train_cfg.get("class_weights"), (list, tuple))
+            else train_cfg.get("class_weights")
+        ),
         train_toggles=resolve_transform_mapping(model_cfg, "train"),
         eval_toggles=resolve_transform_mapping(model_cfg, "eval"),
         mesh_data=mesh_data,
@@ -286,6 +291,11 @@ def build_eval_job(
         precision=str(infer_cfg.get("precision") or "bf16"),
         lookahead=int(infer_cfg.get("lookahead", 2)),
         tta=(str(infer_cfg["tta"]).lower() if infer_cfg.get("tta") else None),
+        calibration=(
+            str(infer_cfg["calibration"]).lower()
+            if infer_cfg.get("calibration")
+            else None
+        ),
         model_kwargs=_model_kwargs(model_cfg),
     )
 

@@ -102,6 +102,11 @@ class TrainJob:
     # 0 = off = reference behavior); see train/mixup.py for semantics
     mixup_alpha: float = 0.0
     cutmix_alpha: float = 0.0
+    # class-weighted CE for imbalanced data (TPU extension, None = off =
+    # reference behavior): "auto" derives sklearn-"balanced" weights
+    # N/(C·count_c) from the train split, or give per-class floats in
+    # alphabetical class order (the label order — data/folder.py)
+    class_weights: str | tuple[float, ...] | None = None
     # exponential moving average of the fine-tune weights (TPU extension,
     # default off = reference behavior). When set (e.g. 0.999), validation,
     # best-model selection, and the exported ``.pth`` use the averaged
@@ -195,6 +200,38 @@ def apply_init_weights(job: TrainJob, wpath: Path, params, batch_stats):
     return restored.get("params", params), restored.get("batch_stats", batch_stats)
 
 
+def resolve_class_weights(job: TrainJob, train_ds) -> np.ndarray | None:
+    """[C] CE class weights from ``training.class_weights`` (TPU extension).
+
+    ``"auto"`` derives sklearn-"balanced" weights ``N/(C·count_c)`` from the
+    train split's label counts; an explicit list is validated against the
+    class count. Weight order is label order = alphabetical class order
+    (data/folder.py scan_image_folder).
+    """
+    if job.class_weights is None:
+        return None
+    if isinstance(job.class_weights, str):
+        if job.class_weights.lower() != "auto":
+            raise SystemExit(
+                f"training.class_weights must be 'auto' or a list of "
+                f"{job.num_classes} positive floats, got {job.class_weights!r}"
+            )
+        counts = np.bincount(
+            [label for _, label in train_ds.samples], minlength=job.num_classes
+        ).astype(np.float64)
+        # require_num_classes already enforced every class is present; the
+        # max() only guards pathological direct-call usage
+        w = counts.sum() / (job.num_classes * np.maximum(counts, 1.0))
+    else:
+        w = np.asarray(job.class_weights, np.float64)
+        if w.shape != (job.num_classes,) or not (w > 0).all():
+            raise SystemExit(
+                f"training.class_weights needs {job.num_classes} positive "
+                f"floats (got {job.class_weights!r})"
+            )
+    return w.astype(np.float32)
+
+
 def _counters_tree(epoch: int, best_val_acc: float, best_epoch: int, warmup_done: bool):
     return {
         "epoch": np.asarray(epoch, np.int32),
@@ -282,6 +319,13 @@ def _run_training(job: TrainJob) -> TrainResult:
     require_num_classes(
         train_ds, job.num_classes, split=job.train_split, dataset_root=train_ds.root
     )
+
+    class_w = resolve_class_weights(job, train_ds)
+    if class_w is not None:
+        console.print(
+            "  class-weighted CE: "
+            + " ".join(f"{w:.3f}" for w in class_w)
+        )
 
     mesh = make_mesh(job.mesh_data, job.mesh_model)
     n_data = mesh.shape["data"]
@@ -507,7 +551,8 @@ def _run_training(job: TrainJob) -> TrainResult:
             step=jnp.asarray(0, jnp.int32),
         )
         wu_step = make_train_step(
-            model, wu_tx, label_smoothing=recipe.label_smoothing, remat=job.remat
+            model, wu_tx, label_smoothing=recipe.label_smoothing, remat=job.remat,
+            class_weights=class_w,
         )
         wu_loader = make_train_loader(
             train_ds, train_plan, batch_size=job.batch_size, seed=job.seed,
@@ -554,7 +599,7 @@ def _run_training(job: TrainJob) -> TrainResult:
         )
     ft_step = make_train_step(
         model, ft_tx, label_smoothing=recipe.label_smoothing, remat=job.remat,
-        mixup=mixup_spec,
+        mixup=mixup_spec, class_weights=class_w,
     )
     ft_loader = make_train_loader(
         train_ds, train_plan, batch_size=ft_batch, seed=job.seed,

@@ -17,17 +17,29 @@ def smoothed_cross_entropy(
     labels: jnp.ndarray,
     mask: jnp.ndarray | None = None,
     label_smoothing: float = 0.1,
+    class_weights: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Mean label-smoothed softmax CE over valid rows. logits f32 [B,C]."""
+    """Mean label-smoothed softmax CE over valid rows. logits f32 [B,C].
+
+    ``class_weights`` (TPU extension, ``training.class_weights`` — the
+    reference trains unweighted) scales each row by the weight of its
+    TARGET class with weighted-mean normalization, i.e. torch
+    ``CrossEntropyLoss(weight=w)`` reduction semantics:
+    ``sum(w[y_i]·l_i) / sum(w[y_i])`` over valid rows.
+    """
     logits = logits.astype(jnp.float32)
     num_classes = logits.shape[-1]
     smooth = jax.nn.one_hot(labels, num_classes) * (1.0 - label_smoothing)
     smooth = smooth + label_smoothing / num_classes
     losses = optax.softmax_cross_entropy(logits, smooth)
-    if mask is None:
-        return jnp.mean(losses)
-    m = mask.astype(jnp.float32)
-    return jnp.sum(losses * m) / jnp.maximum(jnp.sum(m), 1.0)
+    row_w = (
+        jnp.asarray(class_weights, jnp.float32)[labels]
+        if class_weights is not None
+        else jnp.ones_like(losses)
+    )
+    if mask is not None:
+        row_w = row_w * mask.astype(jnp.float32)
+    return jnp.sum(losses * row_w) / jnp.maximum(jnp.sum(row_w), 1e-6)
 
 
 def accuracy_count(

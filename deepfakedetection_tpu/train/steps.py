@@ -46,7 +46,8 @@ def init_model_variables(model, rng, input_shape: tuple[int, ...]):
 
 
 def make_train_step_fn(
-    model, tx, *, label_smoothing: float = 0.1, remat: bool = False, mixup=None
+    model, tx, *, label_smoothing: float = 0.1, remat: bool = False, mixup=None,
+    class_weights=None,
 ):
     """The raw (unjitted) train step — reusable inside lax.scan (bench).
 
@@ -57,8 +58,17 @@ def make_train_step_fn(
     ``mixup`` (a train.mixup.MixupSpec, TPU extension, off by default) mixes
     each batch with its roll-by-one partner on device; the loss becomes
     ``lam*CE(y) + (1-lam)*CE(roll(y))``.
+
+    ``class_weights`` ([C] floats, TPU extension ``training.class_weights``)
+    weights the CE by target class (objectives.smoothed_cross_entropy);
+    under mixup each of the two CE terms is weighted by its own labels.
     """
     mix_enabled = mixup is not None and mixup.enabled
+    cw = (
+        jnp.asarray(class_weights, jnp.float32)
+        if class_weights is not None
+        else None
+    )
 
     def train_step(state: TrainState, images, labels, mask, key):
         step_key = jax.random.fold_in(key, state.step)
@@ -85,11 +95,13 @@ def make_train_step_fn(
         def loss_fn(params):
             outputs, mutated = forward(params, images)
             loss = smoothed_cross_entropy(
-                outputs, labels, mask, label_smoothing=label_smoothing
+                outputs, labels, mask, label_smoothing=label_smoothing,
+                class_weights=cw,
             )
             if mix_enabled:
                 loss_b = smoothed_cross_entropy(
-                    outputs, labels_b, mask, label_smoothing=label_smoothing
+                    outputs, labels_b, mask, label_smoothing=label_smoothing,
+                    class_weights=cw,
                 )
                 loss = lam * loss + (1.0 - lam) * loss_b
             return loss, (mutated["batch_stats"], outputs)
@@ -141,11 +153,13 @@ def train_compiler_options() -> dict | None:
 
 
 def make_train_step(
-    model, tx, *, label_smoothing: float = 0.1, remat: bool = False, mixup=None
+    model, tx, *, label_smoothing: float = 0.1, remat: bool = False, mixup=None,
+    class_weights=None,
 ):
     """Build the donated, jitted train step for one phase."""
     step = make_train_step_fn(
-        model, tx, label_smoothing=label_smoothing, remat=remat, mixup=mixup
+        model, tx, label_smoothing=label_smoothing, remat=remat, mixup=mixup,
+        class_weights=class_weights,
     )
     return jax.jit(step, donate_argnums=(0,), compiler_options=train_compiler_options())
 

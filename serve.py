@@ -191,6 +191,10 @@ class ServedModel:
     plan: Any  # EvalTransformPlan
     batcher: MicroBatcher
     threshold: float | None = None
+    # inference.calibration: temperature — the newest eval run's fitted T
+    # (evaluate/metrics.fit_temperature); request probabilities are served
+    # calibrated, consistent with the sweep threshold fit on calibrated val
+    temperature: float | None = None
 
 
 @dataclass
@@ -242,14 +246,11 @@ class ServeState:
                 m.batcher.runner(np.zeros((n, size, size, 3), np.uint8))
 
 
-def latest_sweep_threshold(output_dir: Path) -> float | None:
-    """Newest decision threshold the eval job's sweep logged for this model.
+def latest_metric_value(output_dir: Path, key: str) -> float | None:
+    """Newest value of ``key`` across the model's eval metrics records.
 
     Scans ``<output_dir>/*/logs/metrics.jsonl`` (the run-dir layout) for the
-    most recent record carrying a ``threshold`` field — the value the
-    501-point balanced-accuracy sweep selected (reference semantics:
-    orchestrator.py:513-546, 632-633).
-    """
+    most recent record carrying the field."""
     best: tuple[str, float] | None = None
     for metrics_file in sorted(Path(output_dir).glob("*/logs/metrics.jsonl")):
         try:
@@ -261,11 +262,18 @@ def latest_sweep_threshold(output_dir: Path) -> float | None:
                 rec = json.loads(line)
             except json.JSONDecodeError:
                 continue
-            if "threshold" in rec and rec["threshold"] is not None:
+            if key in rec and rec[key] is not None:
                 stamp = str(rec.get("timestamp", ""))
                 if best is None or stamp >= best[0]:
-                    best = (stamp, float(rec["threshold"]))
+                    best = (stamp, float(rec[key]))
     return best[1] if best else None
+
+
+def latest_sweep_threshold(output_dir: Path) -> float | None:
+    """Newest decision threshold the eval job's sweep logged for this model
+    — the value the 501-point balanced-accuracy sweep selected (reference
+    semantics: orchestrator.py:513-546, 632-633)."""
+    return latest_metric_value(output_dir, "threshold")
 
 
 def build_state(
@@ -327,6 +335,19 @@ def build_state(
                 + (f"{thr:.4f} (from latest eval sweep)" if thr is not None
                    else "auto requested but no sweep record found — using argmax")
             )
+        temperature = None
+        if str(infer_cfg.get("calibration") or "").lower() == "temperature":
+            temperature = latest_metric_value(
+                Path(model_cfg.get("output_dir") or f"runs/{model_name}"),
+                "temperature",
+            )
+            print(
+                f"[serve] {model_name}: temperature "
+                + (f"{temperature:.4f} (from latest calibrated eval)"
+                   if temperature is not None
+                   else "calibration requested but no calibrated eval record "
+                        "found — serving uncalibrated")
+            )
         served.append(
             ServedModel(
                 name=model_name,
@@ -343,6 +364,7 @@ def build_state(
                     name=model_name,
                 ),
                 threshold=float(thr) if thr is not None else None,
+                temperature=temperature,
             )
         )
     if not served:
@@ -420,6 +442,12 @@ def predict_once(
     member_probs: list[tuple[str, np.ndarray]] = []
     for m, fut in futs:
         probs = fut.result(timeout=120)
+        if m.temperature is not None:
+            from deepfakedetection_tpu.evaluate.metrics import apply_temperature
+
+            probs = apply_temperature(
+                np.asarray(probs, np.float64)[None, :], m.temperature
+            )[0]
         member_probs.append((m.name, np.asarray(probs, np.float64)))
         if m.threshold is not None and probs.shape[-1] == 2:
             cls_idx = int(probs[1] >= m.threshold)

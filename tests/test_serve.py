@@ -187,6 +187,53 @@ def test_threshold_auto_reads_latest_sweep(tmp_path, monkeypatch):
     state.close()
 
 
+def test_serve_applies_latest_temperature(tmp_path, monkeypatch):
+    """inference.calibration: temperature → probs served at the newest
+    calibrated eval run's fitted T (consistent with its sweep threshold)."""
+    runs = tmp_path / "runs/t"
+    d = runs / "r1" / "logs"
+    d.mkdir(parents=True)
+    (d / "metrics.jsonl").write_text(
+        json.dumps(
+            {"model": "m", "temperature": 2.0, "threshold": 0.5,
+             "timestamp": "2026-08-18T10:00:00"}
+        )
+        + "\n"
+    )
+    assert serve.latest_metric_value(runs, "temperature") == pytest.approx(2.0)
+
+    cfg = {
+        "data": {"root": str(tmp_path / "data"), "num_classes": 2, "img_size": 32},
+        "models": {
+            "efficientnet_b3": {
+                "output_dir": str(runs),
+                "inference": {"calibration": "temperature"},
+            }
+        },
+    }
+    p = tmp_path / "cfg.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    import deepfakedetection_tpu.orchestrator as orchestrator
+
+    monkeypatch.setattr(orchestrator, "get_model_spec", lambda name: tiny_spec())
+    monkeypatch.chdir(tmp_path)
+    state = serve.build_state(p, max_batch=4, max_wait_ms=2.0)
+    try:
+        assert state.models[0].temperature == pytest.approx(2.0)
+        img = Image.open(io.BytesIO(_jpeg_bytes()))
+        calibrated = serve.predict_once(state, img)[0]
+        state.models[0].temperature = None
+        raw = serve.predict_once(state, img)[0]
+        # T=2 softens toward uniform but keeps the ranking
+        from deepfakedetection_tpu.evaluate.metrics import apply_temperature
+
+        expect = apply_temperature(np.asarray([raw["probs"]]), 2.0)[0]
+        np.testing.assert_allclose(calibrated["probs"], expect, atol=1e-6)
+        assert abs(calibrated["probs"][1] - 0.5) <= abs(raw["probs"][1] - 0.5) + 1e-12
+    finally:
+        state.close()
+
+
 def test_config_threshold_validation(tmp_path):
     from deepfakedetection_tpu.config import load_config
 
