@@ -70,6 +70,14 @@ def fit_temperature(
     per-row constant, and softmax is invariant to per-row constants, so the
     fit is exact without re-running the model. Scalar golden-section search
     over log-T (the NLL is unimodal in T for a fixed direction).
+
+    Caveat (ADVICE r3): exactness holds for raw single-pass softmax rows
+    only. Under TTA the rows are AVERAGES of two softmaxes (log(p) is no
+    longer a shifted logit), and rows that hit the 1e-12 clip are perturbed;
+    in those cases the fit is a self-consistent monotone recalibration of
+    the served rows rather than exact logit temperature scaling — still
+    well-defined, and binary threshold decisions remain consistent because
+    the same transform is applied to both val and test rows.
     """
     probs = np.asarray(probs, np.float64)
     targets = np.asarray(targets, np.int64)

@@ -22,24 +22,33 @@ def smoothed_cross_entropy(
     """Mean label-smoothed softmax CE over valid rows. logits f32 [B,C].
 
     ``class_weights`` (TPU extension, ``training.class_weights`` — the
-    reference trains unweighted) scales each row by the weight of its
-    TARGET class with weighted-mean normalization, i.e. torch
-    ``CrossEntropyLoss(weight=w)`` reduction semantics:
-    ``sum(w[y_i]·l_i) / sum(w[y_i])`` over valid rows.
+    reference trains unweighted) follows torch
+    ``CrossEntropyLoss(weight=w, label_smoothing=s)`` exactly: each CLASS
+    component of the smoothed target is weighted by ``w_c``
+    (``l_i = -Σ_c q_c·w_c·log p_c``, aten cross_entropy_loss_label_smoothing),
+    and the mean reduction normalizes by ``Σ w[y_i]`` over valid rows
+    (verified vs torch at label_smoothing 0 AND 0.1 in
+    tests/test_class_weights.py).
     """
     logits = logits.astype(jnp.float32)
     num_classes = logits.shape[-1]
     smooth = jax.nn.one_hot(labels, num_classes) * (1.0 - label_smoothing)
     smooth = smooth + label_smoothing / num_classes
-    losses = optax.softmax_cross_entropy(logits, smooth)
-    row_w = (
-        jnp.asarray(class_weights, jnp.float32)[labels]
-        if class_weights is not None
-        else jnp.ones_like(losses)
-    )
+    if class_weights is not None:
+        # per-class weighting INSIDE the row loss (torch puts w_c on every
+        # component of the smoothed target), normalized by Σ w[y_i]
+        w = jnp.asarray(class_weights, jnp.float32)
+        logp = jax.nn.log_softmax(logits)
+        losses = -jnp.sum(smooth * w[None, :] * logp, axis=-1)
+        norm_w = w[labels]
+    else:
+        losses = optax.softmax_cross_entropy(logits, smooth)
+        norm_w = jnp.ones_like(losses)
     if mask is not None:
-        row_w = row_w * mask.astype(jnp.float32)
-    return jnp.sum(losses * row_w) / jnp.maximum(jnp.sum(row_w), 1e-6)
+        m = mask.astype(jnp.float32)
+        losses = losses * m
+        norm_w = norm_w * m
+    return jnp.sum(losses) / jnp.maximum(jnp.sum(norm_w), 1e-6)
 
 
 def accuracy_count(

@@ -246,12 +246,14 @@ class ServeState:
                 m.batcher.runner(np.zeros((n, size, size, 3), np.uint8))
 
 
-def latest_metric_value(output_dir: Path, key: str) -> float | None:
-    """Newest value of ``key`` across the model's eval metrics records.
+def latest_metric_record(output_dir: Path, key: str) -> dict | None:
+    """Newest eval metrics record carrying ``key``.
 
     Scans ``<output_dir>/*/logs/metrics.jsonl`` (the run-dir layout) for the
-    most recent record carrying the field."""
-    best: tuple[str, float] | None = None
+    most recent record with the field — returning the WHOLE record so
+    callers can take correlated values (e.g. threshold + temperature) from
+    the same eval run instead of mixing runs."""
+    best: tuple[str, dict] | None = None
     for metrics_file in sorted(Path(output_dir).glob("*/logs/metrics.jsonl")):
         try:
             lines = metrics_file.read_text().splitlines()
@@ -265,8 +267,14 @@ def latest_metric_value(output_dir: Path, key: str) -> float | None:
             if key in rec and rec[key] is not None:
                 stamp = str(rec.get("timestamp", ""))
                 if best is None or stamp >= best[0]:
-                    best = (stamp, float(rec[key]))
+                    best = (stamp, rec)
     return best[1] if best else None
+
+
+def latest_metric_value(output_dir: Path, key: str) -> float | None:
+    """Newest value of ``key`` across the model's eval metrics records."""
+    rec = latest_metric_record(output_dir, key)
+    return float(rec[key]) if rec else None
 
 
 def latest_sweep_threshold(output_dir: Path) -> float | None:
@@ -325,22 +333,15 @@ def build_state(
             return np.asarray(_eval(_params, _bs, x))
 
         infer_cfg = model_cfg.get("inference") or {}
+        out_dir = Path(model_cfg.get("output_dir") or f"runs/{model_name}")
         thr = infer_cfg.get("threshold")
-        if isinstance(thr, str) and thr.lower() == "auto":
-            thr = latest_sweep_threshold(
-                Path(model_cfg.get("output_dir") or f"runs/{model_name}")
-            )
-            print(
-                f"[serve] {model_name}: threshold "
-                + (f"{thr:.4f} (from latest eval sweep)" if thr is not None
-                   else "auto requested but no sweep record found — using argmax")
-            )
         temperature = None
-        if str(infer_cfg.get("calibration") or "").lower() == "temperature":
-            temperature = latest_metric_value(
-                Path(model_cfg.get("output_dir") or f"runs/{model_name}"),
-                "temperature",
-            )
+        want_calibration = (
+            str(infer_cfg.get("calibration") or "").lower() == "temperature"
+        )
+        calib_rec = latest_metric_record(out_dir, "temperature") if want_calibration else None
+        if want_calibration:
+            temperature = float(calib_rec["temperature"]) if calib_rec else None
             print(
                 f"[serve] {model_name}: temperature "
                 + (f"{temperature:.4f} (from latest calibrated eval)"
@@ -348,6 +349,28 @@ def build_state(
                    else "calibration requested but no calibrated eval record "
                         "found — serving uncalibrated")
             )
+        if isinstance(thr, str) and thr.lower() == "auto":
+            # threshold and temperature must come from the SAME eval run: a
+            # sweep on a calibrated val distribution pairs only with that
+            # run's T (ADVICE r3). Newest-threshold is the uncalibrated path.
+            if calib_rec is not None and calib_rec.get("threshold") is not None:
+                thr = float(calib_rec["threshold"])
+                print(
+                    f"[serve] {model_name}: threshold {thr:.4f} "
+                    "(from the same calibrated eval record)"
+                )
+            else:
+                thr = latest_sweep_threshold(out_dir)
+                if want_calibration and thr is not None and temperature is not None:
+                    print(
+                        f"[serve] ⚠ {model_name}: threshold taken from a "
+                        "different (uncalibrated) record than the temperature"
+                    )
+                print(
+                    f"[serve] {model_name}: threshold "
+                    + (f"{thr:.4f} (from latest eval sweep)" if thr is not None
+                       else "auto requested but no sweep record found — using argmax")
+                )
         served.append(
             ServedModel(
                 name=model_name,

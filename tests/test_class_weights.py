@@ -14,8 +14,8 @@ import pytest
 from deepfakedetection_tpu.train.objectives import smoothed_cross_entropy
 
 
-def _torch_weighted_ce(logits, labels, weights):
-    """Independent torch reference: CrossEntropyLoss(weight=...) mean."""
+def _torch_weighted_ce(logits, labels, weights, label_smoothing=0.0):
+    """Independent torch reference: CrossEntropyLoss(weight=, label_smoothing=)."""
     import torch
 
     return float(
@@ -23,11 +23,16 @@ def _torch_weighted_ce(logits, labels, weights):
             torch.tensor(np.asarray(logits), dtype=torch.float64),
             torch.tensor(np.asarray(labels), dtype=torch.long),
             weight=torch.tensor(np.asarray(weights), dtype=torch.float64),
+            label_smoothing=label_smoothing,
         )
     )
 
 
-def test_weighted_ce_matches_torch_semantics():
+@pytest.mark.parametrize("smoothing", [0.0, 0.1])
+def test_weighted_ce_matches_torch_semantics(smoothing):
+    """ADVICE r3: torch weights each class component of the smoothed target
+    by w_c — must agree at label_smoothing>0 (the default recipe's 0.1),
+    not just 0."""
     rng = np.random.default_rng(0)
     logits = rng.normal(0, 2, (16, 3)).astype(np.float32)
     labels = rng.integers(0, 3, 16)
@@ -35,10 +40,12 @@ def test_weighted_ce_matches_torch_semantics():
     got = float(
         smoothed_cross_entropy(
             jnp.asarray(logits), jnp.asarray(labels),
-            label_smoothing=0.0, class_weights=jnp.asarray(weights),
+            label_smoothing=smoothing, class_weights=jnp.asarray(weights),
         )
     )
-    assert got == pytest.approx(_torch_weighted_ce(logits, labels, weights), rel=1e-5)
+    assert got == pytest.approx(
+        _torch_weighted_ce(logits, labels, weights, smoothing), rel=1e-5
+    )
 
 
 def test_weighted_ce_uniform_weights_is_unweighted():
