@@ -47,13 +47,26 @@ def _resize_shorter(img: Image.Image, target: int) -> Image.Image:
     return img.resize((rw, rh), Image.BILINEAR)
 
 
+def _crop_anchor(size: int, target: int) -> int:
+    """torchvision CenterCrop anchor: ``int(round((size - target) / 2.0))``
+    with Python's round-half-to-even — NOT floor division, which shifts the
+    crop 1px on ``(size - target) % 4 == 3`` long sides (caught by the
+    round-4 pipeline-level parity harness, tools/parity.py --pipeline).
+    When the image is SMALLER than the crop, torchvision pads top-left by
+    ``(target - size) // 2`` first (functional.center_crop padding_ltrb),
+    so the content anchor is ``-((target - size) // 2)``."""
+    if size >= target:
+        return int(round((size - target) / 2.0))
+    return -((target - size) // 2)
+
+
 def _center_crop_square(arr: np.ndarray, target: int) -> np.ndarray:
     """Center crop (zero-pad if smaller) to target x target uint8 HWC,
-    torchvision CenterCrop semantics (crop offset = (size - target) // 2)."""
+    exact torchvision CenterCrop semantics (see ``_crop_anchor``)."""
     h, w = arr.shape[:2]
     out = np.zeros((target, target, 3), np.uint8)
-    top = (h - target) // 2
-    left = (w - target) // 2
+    top = _crop_anchor(h, target)
+    left = _crop_anchor(w, target)
     src_y0, src_x0 = max(top, 0), max(left, 0)
     src_y1, src_x1 = min(h, top + target), min(w, left + target)
     dst_y0, dst_x0 = src_y0 - top, src_x0 - left

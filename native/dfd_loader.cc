@@ -276,9 +276,22 @@ void resample(const ImageU8& in, int out_w, int out_h, ImageU8* out) {
   }
 }
 
+// torchvision CenterCrop anchor: int(round((size - target)/2.0)) with
+// round-half-to-even (matches data/decode.py _crop_anchor; floor division
+// shifts the crop 1px when (size - target) % 4 == 3). Smaller-than-crop
+// images pad top-left by (target - size)/2 first (functional.center_crop
+// padding_ltrb), so the content anchor is -((target - size) / 2).
+static int center_anchor(int size, int target) {
+  if (size < target) return -((target - size) / 2);
+  int diff = size - target;
+  if (diff % 2 == 0) return diff / 2;
+  int fl = diff / 2;  // floor for non-negative diff; value is fl + 0.5
+  return (fl % 2 == 0) ? fl : fl + 1;
+}
+
 // shorter-side resize to resize_target then DIRECT center crop/pad to
-// crop_target x crop_target (single-crop offsets (rh-crop)/2, (rw-crop)/2 —
-// composing two center crops would shift 1px on odd remainders)
+// crop_target x crop_target (single-crop torchvision anchors — composing
+// two center crops would shift 1px on odd remainders)
 void shape_to_square(const ImageU8& in, int resize_target, int crop_target,
                      unsigned char* out) {
   // Output size TRUNCATES (int cast), matching torchvision 0.24's
@@ -296,8 +309,8 @@ void shape_to_square(const ImageU8& in, int resize_target, int crop_target,
   ImageU8 resized;
   resample(in, rw, rh, &resized);
   std::memset(out, 0, static_cast<size_t>(crop_target) * crop_target * 3);
-  int top = (rh - crop_target) / 2;
-  int left = (rw - crop_target) / 2;
+  int top = center_anchor(rh, crop_target);
+  int left = center_anchor(rw, crop_target);
   for (int y = 0; y < crop_target; ++y) {
     int sy = y + top;
     if (sy < 0 || sy >= rh) continue;

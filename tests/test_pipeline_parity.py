@@ -1,0 +1,132 @@
+"""Full-pipeline two-implementation eval parity (VERDICT r3 #1).
+
+The composed reference inference-job semantics — decode → eval transforms →
+model → 501-point sweep → threshold decisions → metrics — run through BOTH
+stacks (this repo's evaluate/job.py and the independent torch
+reimplementation in tests/torch_refs/eval_pipeline.py) on the same
+checkpoint and image tree, asserting per-image agreement.
+"""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from deepfakedetection_tpu.data.decode import decode_pil_eval
+from deepfakedetection_tpu.data.transforms import build_eval_plan
+from torch_refs.eval_pipeline import eval_transform
+
+IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+
+
+def test_crop_anchor_matches_torchvision_round_half_even():
+    from deepfakedetection_tpu.data.decode import _crop_anchor
+
+    for size in range(1, 80):
+        for target in range(1, 80):
+            if size >= target:
+                expect = int(round((size - target) / 2.0))
+            else:
+                expect = -((target - size) // 2)
+            assert _crop_anchor(size, target) == expect, (size, target)
+
+
+def test_eval_decode_bit_matches_independent_torch_pipeline():
+    """The production eval decode (data/decode.py) must produce BIT-identical
+    uint8 pixels to the independent torchvision-semantics reimplementation —
+    across aspect ratios hitting every (long_side - crop) % 4 residue
+    (residue 3 is the round-half-even case floor division gets wrong)."""
+    rng = np.random.default_rng(0)
+    target = 64
+    plan = build_eval_plan(target, {})
+    # heights/widths chosen so resized long sides land on all 4 residues
+    shapes = [(80, 80), (96, 71), (71, 96), (200, 131), (131, 200),
+              (77, 160), (160, 77), (64, 64), (40, 52), (300, 299)]
+    for h, w in shapes:
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        img = Image.fromarray(arr)
+        ours = decode_pil_eval(img, plan)  # uint8 [64,64,3]
+        theirs_chw = eval_transform(img, target)  # normalized CHW float
+        # invert the normalize to recover uint8 pixels exactly
+        theirs = np.transpose(theirs_chw, (1, 2, 0)) * IMAGENET_STD + IMAGENET_MEAN
+        theirs_u8 = np.round(theirs * 255.0).astype(np.int64)
+        np.testing.assert_array_equal(
+            ours.astype(np.int64), theirs_u8, err_msg=f"shape {(h, w)}"
+        )
+
+
+def test_threshold_sweep_implementations_agree():
+    """Both sweeps (evaluate/metrics.py and torch_refs/eval_pipeline.py)
+    pick the same threshold on shared inputs, including plateau ties."""
+    from deepfakedetection_tpu.evaluate.metrics import sweep_threshold as sweep_jax
+    from torch_refs.eval_pipeline import sweep_threshold as sweep_ref
+
+    rng = np.random.default_rng(1)
+    for n, seed in ((30, 0), (101, 1), (512, 2)):
+        r = np.random.default_rng(seed)
+        targets = r.integers(0, 2, n)
+        p1 = np.clip(r.normal(0.5 + 0.2 * (targets - 0.5), 0.25), 0, 1)
+        assert sweep_jax(p1, targets) == pytest.approx(sweep_ref(p1, targets), abs=1e-12)
+    # degenerate: constant probabilities
+    targets = rng.integers(0, 2, 16)
+    p1 = np.full(16, 0.25)
+    assert sweep_jax(p1, targets) == pytest.approx(sweep_ref(p1, targets), abs=1e-12)
+
+
+def test_roc_auc_implementations_agree():
+    from deepfakedetection_tpu.evaluate.metrics import roc_auc as auc_jax
+    from torch_refs.eval_pipeline import roc_auc as auc_ref
+
+    for n, seed in ((50, 0), (333, 3)):
+        r = np.random.default_rng(seed)
+        targets = r.integers(0, 2, n)
+        p1 = r.random(n)
+        p1[: n // 4] = np.round(p1[: n // 4], 1)  # force ties
+        a, b = auc_jax(targets, p1), auc_ref(targets, p1)
+        assert a == pytest.approx(b, abs=1e-12)
+
+
+@pytest.fixture(scope="module")
+def parity_tree(tmp_path_factory):
+    """Realistic-ish mixed-size JPEG tree (val+test) for the composed job."""
+    root = tmp_path_factory.mktemp("parity_data")
+    rng = np.random.default_rng(7)
+    for split, n in (("val", 10), ("test", 12)):
+        for ci, cls in enumerate(("fake", "real")):
+            d = root / split / cls
+            d.mkdir(parents=True)
+            for i in range(n):
+                h = int(rng.integers(70, 180))
+                w = int(rng.integers(70, 180))
+                base = 70 if ci == 0 else 170
+                arr = rng.normal(base, 45, (h, w, 3)).clip(0, 255).astype(np.uint8)
+                Image.fromarray(arr).save(d / f"i{i:03d}.jpg", quality=92)
+    return root
+
+
+@pytest.mark.slow
+def test_full_pipeline_parity_on_converted_checkpoint(parity_tree, tmp_path):
+    """tools/parity.py --pipeline end to end: same torch ``.pth`` through the
+    real JAX eval job AND the independent torch job; per-image prediction
+    agreement, same sweep threshold (≤1 grid step), identical accuracy."""
+    import torch
+
+    from tools.parity import run_pipeline_parity
+    from torch_refs.efficientnet_torch import EfficientNetB3
+
+    torch.manual_seed(0)
+    m = EfficientNetB3(num_classes=2)
+    wpath = tmp_path / "b3_random.pth"
+    torch.save(m.state_dict(), wpath)
+
+    report = run_pipeline_parity(
+        "efficientnet_b3", wpath, parity_tree, img_size=64, batch=8,
+    )
+    assert report.get("error") is None, report
+    assert report["file_order_match"]
+    assert report["n_images"] == 24
+    assert report["pred_disagreements"] <= 1, report
+    assert report["threshold_step_delta"] <= 1.0, report
+    assert report["accuracy_delta_images"] <= 1, report
+    assert report["max_prob_delta"] < 5e-3, report
+    assert report["gate_pipeline"], report

@@ -384,6 +384,138 @@ def _softmax(z: np.ndarray) -> np.ndarray:
     return e / e.sum(axis=-1, keepdims=True)
 
 
+def run_pipeline_parity(
+    model_name: str,
+    weights: Path,
+    images_root: Path,
+    img_size: int = 224,
+    batch: int = 32,
+    num_classes: int = 2,
+    val_split: str = "val",
+    test_split: str = "test",
+    num_workers: int = 0,
+) -> dict:
+    """Full-pipeline two-implementation parity (VERDICT r3 #1).
+
+    Runs the reference's COMPOSED eval semantics — decode →
+    build_eval_transforms (ref orchestrator.py:316-347) → model → 501-point
+    threshold sweep (ref orchestrator.py:513-546) → ``p₁ ≥ threshold``
+    decisions → metrics (ref orchestrator.py:605-658) — through BOTH stacks
+    on the SAME converted checkpoint and the SAME image tree:
+
+    - this repo's real eval job (``evaluate/job.py``, f32 so numerics are
+      the pipeline's, not bf16 rounding), and
+    - an independent torch reimplementation of the whole job
+      (tests/torch_refs/eval_pipeline.py — zero package imports).
+
+    Reports per-image prediction agreement, threshold step delta (the sweep
+    grid is 0.002), and accuracy/AUC deltas. The strongest parity statement
+    an offline environment permits: "the PRODUCT agrees on real images",
+    not just "logits agree on synthetic inputs".
+    """
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from deepfakedetection_tpu.data.folder import scan_image_folder
+    from deepfakedetection_tpu.evaluate.job import EvalJob, run_eval_job
+    from deepfakedetection_tpu.registry import get_model_spec
+    from deepfakedetection_tpu.runtime.paths import ensure_run_dirs
+
+    spec = get_model_spec(model_name)
+    images_root = Path(images_root)
+    report: dict = {
+        "mode": "pipeline",
+        "model": model_name,
+        "weights": str(weights),
+        "images": str(images_root),
+        "img_size": img_size,
+    }
+
+    # ---- torch stack: the independent full-job reimplementation ----------
+    torch_model, torch_src = _torch_reference_model(spec, num_classes)
+    if torch_model is None:
+        report["error"] = "no torch reference model importable for this family"
+        return report
+    report["torch_reference"] = torch_src
+    import torch
+
+    sd = torch.load(weights, map_location="cpu", weights_only=True)
+    for wrapper in ("state_dict", "model"):
+        if isinstance(sd, dict) and wrapper in sd and isinstance(sd[wrapper], dict):
+            sd = sd[wrapper]
+    torch_model.load_state_dict(sd, strict=False)
+
+    tests_dir = str(Path(__file__).resolve().parent.parent / "tests")
+    if tests_dir not in sys.path:
+        sys.path.append(tests_dir)
+    from torch_refs.eval_pipeline import run_reference_eval
+
+    ref = run_reference_eval(
+        torch_model, images_root, img_size,
+        val_split=val_split, test_split=test_split, batch=batch,
+    )
+
+    # ---- JAX stack: the real eval job ------------------------------------
+    with tempfile.TemporaryDirectory() as td:
+        job = EvalJob(
+            model_name=model_name,
+            spec=spec,
+            run_paths=ensure_run_dirs(Path(td), run_id="pipeline_parity"),
+            data_root=images_root,
+            split=test_split,
+            val_split=val_split,
+            num_classes=num_classes,
+            img_size=img_size,
+            batch_size=batch,
+            num_workers=num_workers,
+            weights=Path(weights),
+            compute_dtype=jnp.float32,
+        )
+        result = run_eval_job(job)
+    if result is None:
+        report["error"] = "JAX eval job produced no result"
+        return report
+
+    # ---- alignment + comparison ------------------------------------------
+    ds = scan_image_folder(images_root / test_split)
+    jax_files = [str(p) for p, _ in ds.samples]
+    report["file_order_match"] = jax_files == ref["files"]
+    n = len(ref["files"])
+    report["n_images"] = n
+    if not report["file_order_match"] or n == 0:
+        return report
+
+    pred_agree = int((result.preds == ref["preds"]).sum())
+    report["pred_agreement"] = pred_agree / n
+    report["pred_disagreements"] = n - pred_agree
+    report["max_prob_delta"] = float(np.abs(result.probs - ref["probs"]).max())
+    report["mean_prob_delta"] = float(np.abs(result.probs - ref["probs"]).mean())
+    thr_jax = float(result.metrics.get("threshold", 0.5))
+    thr_ref = float(ref["threshold"])
+    report["threshold_jax"] = thr_jax
+    report["threshold_torch"] = thr_ref
+    report["threshold_step_delta"] = abs(thr_jax - thr_ref) / 0.002
+    report["accuracy_jax"] = float(result.metrics["accuracy"])
+    report["accuracy_torch"] = ref["accuracy"]
+    report["accuracy_delta_images"] = abs(
+        round(report["accuracy_jax"] * n) - round(ref["accuracy"] * n)
+    )
+    auc_jax = result.metrics.get("roc_auc")
+    if auc_jax is not None and ref["roc_auc"] is not None:
+        report["auroc_jax"] = float(auc_jax)
+        report["auroc_torch"] = float(ref["roc_auc"])
+        report["auroc_delta"] = abs(float(auc_jax) - float(ref["roc_auc"]))
+    # the gate: ≤1 image disagreement, ≤1 sweep step, ≤0.1% metric deltas
+    report["gate_pipeline"] = bool(
+        report["pred_disagreements"] <= max(1, n // 1000)
+        and report["threshold_step_delta"] <= 1.0
+        and report["accuracy_delta_images"] <= max(1, n // 1000)
+        and report.get("auroc_delta", 0.0) <= 1e-3
+    )
+    return report
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--model", required=True)
@@ -392,12 +524,30 @@ def main() -> None:
     ap.add_argument("--img-size", type=int, default=224)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--num-classes", type=int, default=2)
+    ap.add_argument(
+        "--pipeline", action="store_true",
+        help="full-job two-implementation parity over --images "
+             "(val+test splits): decode→transforms→model→sweep→metrics "
+             "through both stacks, per-image agreement",
+    )
+    ap.add_argument("--val-split", default="val")
+    ap.add_argument("--test-split", default="test")
+    ap.add_argument("--num-workers", type=int, default=0)
     ap.add_argument("--json", type=Path, default=None)
     args = ap.parse_args()
-    report = run_parity(
-        args.model, args.weights, args.images, args.img_size, args.batch,
-        args.num_classes,
-    )
+    if args.pipeline:
+        if args.images is None:
+            ap.error("--pipeline requires --images <root with val/test splits>")
+        report = run_pipeline_parity(
+            args.model, args.weights, args.images, args.img_size, args.batch,
+            args.num_classes, val_split=args.val_split,
+            test_split=args.test_split, num_workers=args.num_workers,
+        )
+    else:
+        report = run_parity(
+            args.model, args.weights, args.images, args.img_size, args.batch,
+            args.num_classes,
+        )
     text = json.dumps(report, indent=2, default=str)
     print(text)
     if args.json:
