@@ -246,9 +246,30 @@ def evaluate(
 ) -> tuple[float, float]:
     """(accuracy, img/s) over a loader. Softmax on device, masking on host.
 
-    Device results stay un-fetched until the end so dispatch runs ahead of
-    host-side decode (async pipeline)."""
-    device_probs, masks, labels = [], [], []
+    The last ``DFD_EVAL_COMBINE_BATCHES`` (default 64) device results stay
+    un-fetched so dispatch runs ahead of host-side decode (async pipeline);
+    older batches are reduced into running counts as the loop advances, so
+    host/device state is bounded on arbitrarily long splits (VERDICT r3
+    weak #6)."""
+    import os
+
+    from deepfakedetection_tpu.parallel.multihost import local_rows
+
+    combine_every = int(os.environ.get("DFD_EVAL_COMBINE_BATCHES", "64"))
+    pending: list[tuple] = []
+    correct = 0
+    total = 0
+
+    def drain(n):
+        nonlocal correct, total
+        for probs, valid, lab in pending[:n]:
+            # pods: fetch only this process's rows (aligned with its local
+            # labels/mask); single-process this is a plain np.asarray
+            preds = np.asarray(local_rows(probs)).argmax(axis=-1)
+            correct += int((preds[valid] == lab[valid]).sum())
+            total += int(valid.sum())
+        del pending[:n]
+
     speed = 0.0
     with progress("eval", total=len(loader.dataset)) as advance:
         for batch in loader:
@@ -256,20 +277,11 @@ def evaluate(
             # (jnp.asarray would commit to device 0 first, then reshard)
             images = shard_batch(mesh, batch.images)
             x = normalize_batch(images, plan, out_dtype=compute_dtype)
-            device_probs.append(eval_step(params, batch_stats, x))
-            masks.append(batch.mask)
-            labels.append(batch.labels)
+            pending.append((eval_step(params, batch_stats, x), batch.mask, batch.labels))
+            if combine_every and len(pending) > combine_every:
+                drain(len(pending) - combine_every)
             speed = advance(int(batch.mask.sum()))
-    correct = 0
-    total = 0
-    from deepfakedetection_tpu.parallel.multihost import local_rows
-
-    for probs, valid, lab in zip(device_probs, masks, labels):
-        # pods: fetch only this process's rows (aligned with its local
-        # labels/mask); single-process this is a plain np.asarray
-        preds = local_rows(probs).argmax(axis=-1)
-        correct += int((preds[valid] == lab[valid]).sum())
-        total += int(valid.sum())
+    drain(len(pending))
     # multi-host: every process saw a disjoint shard — combine the counts
     from deepfakedetection_tpu.parallel.multihost import allgather_examples
 

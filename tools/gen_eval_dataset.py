@@ -29,6 +29,13 @@ def main() -> None:
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--quality", type=int, default=90)
     ap.add_argument("--seed", type=int, default=0)
+    # class separation: the fake/real base-intensity gap (default 70 —
+    # trivially separable, good for throughput runs). Small gaps (~10-25)
+    # plus noise make a HARD set so short fine-tunes land at realistic
+    # 0.7-0.9 val accuracies (VERDICT r3 weak #3: int8 accuracy deltas must
+    # be measured on an UNsaturated operating point)
+    ap.add_argument("--class-gap", type=float, default=70.0)
+    ap.add_argument("--noise", type=float, default=12.0)
     args = ap.parse_args()
 
     rng = np.random.default_rng(args.seed)
@@ -46,7 +53,8 @@ def main() -> None:
                 # not pure noise which decodes unrealistically slowly)
                 f1, f2 = rng.uniform(0.005, 0.05, 2)
                 phase = rng.uniform(0, 6.28, 3)
-                base = 90 if ci == 0 else 160
+                mid = 125.0
+                base = mid - args.class_gap / 2 if ci == 0 else mid + args.class_gap / 2
                 img = np.stack(
                     [
                         base + 70 * np.sin(f1 * xx + phase[0]) * np.cos(f2 * yy),
@@ -55,7 +63,7 @@ def main() -> None:
                     ],
                     axis=-1,
                 )
-                img += rng.normal(0, 12, (h, w, 3))
+                img += rng.normal(0, args.noise, (h, w, 3))
                 Image.fromarray(
                     img.clip(0, 255).astype(np.uint8)
                 ).save(d / f"img_{i:05d}.jpg", quality=args.quality)
