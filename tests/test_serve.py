@@ -498,3 +498,76 @@ def test_metrics_endpoint_prometheus_format(serve_state):
         server.shutdown()
         thread.join(timeout=10)
         serve_state.close()
+
+
+def test_reload_reresolves_threshold_and_temperature(tmp_path, monkeypatch):
+    """POST /reload swaps in a fresh state resolving the NEWEST eval
+    records — a retrain + re-sweep during a long-running serve no longer
+    leaves stale decision parameters (VERDICT r3 weak #4)."""
+    runs = tmp_path / "runs/t"
+    d = runs / "r1/logs"
+    d.mkdir(parents=True)
+    d.joinpath("metrics.jsonl").write_text(
+        json.dumps(
+            {"model": "m", "threshold": 0.30, "timestamp": "2026-08-17T10:00:00"}
+        ) + "\n"
+    )
+    cfg = {
+        "data": {"root": str(tmp_path / "data"), "num_classes": 2, "img_size": 32},
+        "models": {
+            "efficientnet_b3": {
+                "output_dir": str(runs),
+                "inference": {"threshold": "auto", "calibration": "temperature"},
+            }
+        },
+    }
+    p = tmp_path / "cfg.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    import deepfakedetection_tpu.orchestrator as orchestrator
+    from tests.util import tiny_spec
+
+    monkeypatch.setattr(orchestrator, "get_model_spec", lambda name: tiny_spec())
+    monkeypatch.chdir(tmp_path)
+    server = serve.build_server(p, port=0, max_batch=4, max_wait_ms=2.0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    host, port = server.server_address[:2]
+    base = f"http://{host}:{port}"
+    try:
+        handler_cls = server.RequestHandlerClass
+        assert handler_cls.state.models[0].threshold == pytest.approx(0.30)
+        assert handler_cls.state.models[0].temperature is None
+
+        # a newer CALIBRATED eval run lands: threshold AND temperature must
+        # come from that same record after reload
+        d2 = runs / "r2/logs"
+        d2.mkdir(parents=True)
+        d2.joinpath("metrics.jsonl").write_text(
+            json.dumps(
+                {
+                    "model": "m",
+                    "threshold": 0.55,
+                    "temperature": 1.7,
+                    "timestamp": "2026-08-19T10:00:00",
+                }
+            ) + "\n"
+        )
+        req = urllib.request.Request(f"{base}/reload", data=b"", method="POST")
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            out = json.loads(resp.read())
+        assert out["status"] == "reloaded"
+        assert out["models"]["efficientnet_b3"]["threshold"] == pytest.approx(0.55)
+        assert out["models"]["efficientnet_b3"]["temperature"] == pytest.approx(1.7)
+        assert handler_cls.state.models[0].threshold == pytest.approx(0.55)
+
+        # the swapped state still serves predictions
+        req = urllib.request.Request(
+            f"{base}/predict", data=_jpeg_bytes(), method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            res = json.loads(resp.read())
+        assert res["results"][0]["label"] in ("fake", "real")
+    finally:
+        server.shutdown()
+        thread.join(timeout=10)
+        server.RequestHandlerClass.state.close()
