@@ -219,3 +219,77 @@ def test_efficientnet_b3_matches_torch_reimplementation(tmp_path, monkeypatch):
         flax_model, "efficientnet", EfficientNetB3(num_classes=2), 224,
         tmp_path, monkeypatch, probes=probes,
     )
+
+
+# ---- variant-depth parity (VERDICT r3 #4): one non-flagship variant per
+# family through the same converter name-maps + logit agreement, so the
+# registry's accepted surface (ref model_registry.py:60-75) is
+# conversion-safe, not just constructable ---------------------------------
+
+
+@pytest.mark.slow
+def test_efficientnet_b0_matches_torch_reimplementation(tmp_path, monkeypatch):
+    from torch_refs.efficientnet_torch import efficientnet_variant
+
+    from deepfakedetection_tpu.models.efficientnet import create_efficientnet
+
+    flax_model = create_efficientnet("b0", num_classes=2, dtype=jnp.float32)
+    # B0 repeats 1,2,2,3,3,4,1 → last flat indices
+    last_flat = [0, 2, 4, 7, 10, 14, 15]
+    last_rep = [0, 1, 1, 2, 2, 3, 0]
+    probes = [
+        (f"stage{s}", f"stage{s}_block{last_rep[s]}", f"_blocks.{last_flat[s]}",
+         "nchw")
+        for s in range(7)
+    ]
+    _cross_check(
+        flax_model, "efficientnet", efficientnet_variant("b0", num_classes=2),
+        224, tmp_path, monkeypatch, probes=probes,
+    )
+
+
+@pytest.mark.slow
+def test_efficientformer_v2_s2_matches_torch_reimplementation(tmp_path, monkeypatch):
+    from torch_refs.efficientformer_v2_torch import EfficientFormerV2S1
+
+    from deepfakedetection_tpu.models.efficientformer_v2 import (
+        create_efficientformer_v2,
+    )
+
+    flax_model = create_efficientformer_v2("s2", num_classes=2, dtype=jnp.float32)
+    torch_model = EfficientFormerV2S1(num_classes=2, variant="s2")
+    # s2 depths (4,4,12,8) → last block per stage
+    probes = [
+        (f"stage{s}", f"stages_{s}_block{b}_ffn_res", f"stages.{s}.blocks.{b}",
+         "nchw")
+        for s, b in ((0, 3), (1, 3), (2, 11), (3, 7))
+    ] + [
+        (f"ds{s}", f"downsample_{s}", f"stages.{s}.downsample", "nchw")
+        for s in (1, 2, 3)
+    ]
+    _cross_check(
+        flax_model, "efficientformerv2", torch_model,
+        224, tmp_path, monkeypatch, probes=probes,
+    )
+
+
+@pytest.mark.slow
+def test_faster_vit_1_matches_torch_reimplementation(tmp_path, monkeypatch):
+    from torch_refs.fastervit_torch import FasterViT2
+
+    from deepfakedetection_tpu.models.fastervit import create_faster_vit
+
+    flax_model = create_faster_vit(
+        "1", num_classes=2, dtype=jnp.float32, head_config="official"
+    )
+    probes = [
+        ("level0.b0", "stage0_block0", "levels.0.blocks.0", "nchw"),
+        ("ds1", "downsample_1", "levels.0.downsample", "nchw"),
+        ("ds2", "downsample_2", "levels.1.downsample", "nchw"),
+        ("ds3", "downsample_3", "levels.2.downsample", "nchw"),
+        ("final_norm", "norm_out", "norm", "nchw"),
+    ]
+    _cross_check(
+        flax_model, "fastervit", FasterViT2(num_classes=2, variant="1"), 224,
+        tmp_path, monkeypatch, probes=probes,
+    )

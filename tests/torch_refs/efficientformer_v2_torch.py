@@ -226,19 +226,42 @@ class Stage(nn.Module):
         return self.blocks(self.downsample(x))
 
 
-class EfficientFormerV2S1(nn.Module):
-    """efficientformerv2_s1 @ 224px, timm layout."""
-
-    def __init__(self, num_classes=2):
-        super().__init__()
-        dims = (32, 48, 120, 224)
-        depths = (3, 3, 9, 6)
-        e_ratios = {
+# timm's width/depth/vit_num/expansion tables (efficientformer_v2.py)
+_CONFIGS = {
+    "s1": {
+        "dims": (32, 48, 120, 224),
+        "depths": (3, 3, 9, 6),
+        "num_vit": 2,
+        "e_ratios": {
             0: [4, 4, 4],
             1: [4, 4, 4],
             2: [4, 4, 3, 3, 3, 3, 4, 4, 4],
             3: [4, 4, 3, 3, 4, 4],
-        }
+        },
+    },
+    "s2": {
+        "dims": (32, 64, 144, 288),
+        "depths": (4, 4, 12, 8),
+        "num_vit": 4,
+        "e_ratios": {
+            0: [4, 4, 4, 4],
+            1: [4, 4, 4, 4],
+            2: [4, 4, 3, 3, 3, 3, 3, 3, 3, 3, 4, 4],
+            3: [4, 4, 3, 3, 3, 3, 4, 4],
+        },
+    },
+}
+
+
+class EfficientFormerV2S1(nn.Module):
+    """efficientformerv2_s1 @ 224px, timm layout (``variant`` selects other
+    configs from the same parameterized module)."""
+
+    def __init__(self, num_classes=2, variant="s1"):
+        super().__init__()
+        cfg = _CONFIGS[variant]
+        dims, depths = cfg["dims"], cfg["depths"]
+        e_ratios, num_vit = cfg["e_ratios"], cfg["num_vit"]
         self.stem = Stem(dims[0])
         stages = []
         res = 56  # 224 / 4
@@ -250,7 +273,7 @@ class EfficientFormerV2S1(nn.Module):
                     downsample=s > 0,
                     downsample_attn=s >= 2,
                     use_attn=s >= 2,
-                    num_vit=2,
+                    num_vit=num_vit,
                     block_stride=2 if s == 2 else None,
                 )
             )

@@ -102,9 +102,28 @@ class MBConvBlock(nn.Module):
         return x
 
 
+# (width, depth, native resolution) — efficientnet_pytorch's compound
+# scaling table; pads freeze from the native resolution like from_pretrained
+_SCALING = {
+    "b0": (1.0, 1.0, 224),
+    "b1": (1.0, 1.1, 240),
+    "b2": (1.1, 1.2, 260),
+    "b3": (1.2, 1.4, 300),
+}
+
+
+def efficientnet_variant(variant: str, num_classes: int = 2) -> "EfficientNetB3":
+    """Any supported variant through the same parameterized module
+    (EfficientNetB3 is the width/depth/trace-parameterized class)."""
+    width, depth, res = _SCALING[variant]
+    return EfficientNetB3(
+        num_classes=num_classes, width=width, depth=depth, image_size=res
+    )
+
+
 class EfficientNetB3(nn.Module):
     """B3 (width 1.2, depth 1.4) with a swapped ``_fc`` head
-    (model_registry.py:32-36)."""
+    (model_registry.py:32-36). Other variants via ``efficientnet_variant``."""
 
     def __init__(
         self, num_classes: int = 2, width: float = 1.2, depth: float = 1.4,

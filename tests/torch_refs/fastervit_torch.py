@@ -322,13 +322,23 @@ class Level(nn.Module):
         return self.downsample(x)
 
 
-class FasterViT2(nn.Module):
-    """faster_vit_2_224: dim 96, depths (3,3,8,5), heads (2,4,8,16)."""
+# the wheel's per-variant dims (fastervit faster_vit_*_224 configs)
+_CONFIGS = {
+    "0": {"dim": 64, "in_dim": 64, "depths": (2, 3, 6, 5)},
+    "1": {"dim": 80, "in_dim": 32, "depths": (1, 3, 8, 5)},
+    "2": {"dim": 96, "in_dim": 64, "depths": (3, 3, 8, 5)},
+}
 
-    def __init__(self, num_classes=2):
+
+class FasterViT2(nn.Module):
+    """faster_vit_2_224: dim 96, depths (3,3,8,5), heads (2,4,8,16);
+    ``variant`` selects the other 224 configs through the same module."""
+
+    def __init__(self, num_classes=2, variant="2"):
         super().__init__()
-        dim, in_dim = 96, 64
-        depths = (3, 3, 8, 5)
+        cfg = _CONFIGS[variant]
+        dim, in_dim = cfg["dim"], cfg["in_dim"]
+        depths = cfg["depths"]
         heads = (2, 4, 8, 16)
         self.patch_embed = PatchEmbed(in_dim, dim)
         self.levels = nn.ModuleList()
