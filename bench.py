@@ -244,6 +244,13 @@ def main() -> None:
         "--mixup", action="store_true",
         help="measure in-step Mixup+CutMix (training extension; train only)",
     )
+    parser.add_argument(
+        "--pad-conv-stages", action="store_true",
+        help="BENCHMARK-ONLY FasterViT variant with conv stages 1-2 padded "
+             "to full 128-lane tiles (96/192 → 128/256, random weights, no "
+             "checkpoint claim) — falsifies/confirms the lane-padding "
+             "roofline in docs/BENCHMARKS.md (VERDICT r3 weak #1)",
+    )
     args = parser.parse_args()
     if args.int8 and args.mode == "train":
         parser.error("--int8 is an eval-only path (training stays bf16)")
@@ -255,6 +262,11 @@ def main() -> None:
         parser.error("--mixup is a train-only path")
     kwargs = {"head_config": "official"} if args.official else {}
     suffix = "_official" if args.official else ""
+    if args.pad_conv_stages:
+        if "faster_vit" not in args.model:
+            parser.error("--pad-conv-stages is a FasterViT benchmark variant")
+        kwargs["conv_stage_dims"] = (128, 256)
+        suffix += "_padconv"
     if args.int8:
         suffix += "_int8"
 

@@ -504,6 +504,13 @@ class FasterViT(nn.Module):
     drop_path_rate: float = 0.2
     # "table" = TPU-native learned tables; "cpb" = wheel-exact parity mode
     pos_mode: str = "table"
+    # BENCHMARK-ONLY (no checkpoint compatibility): override the conv
+    # stage 1-2 channel counts, e.g. (128, 256) pads the official 96/192
+    # stages to full 128-lane MXU tiles. Exists to falsify-or-confirm the
+    # docs/BENCHMARKS.md "lane-padding roofline" claim (VERDICT r3 weak #1):
+    # if those convs are lane-limited, the padded shape's extra FLOPs are
+    # ~free; if the step slows proportionally, the ceiling claim is wrong.
+    conv_stage_dims: tuple[int, int] | None = None
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -516,14 +523,21 @@ class FasterViT(nn.Module):
         # (wheel PatchEmbed.conv_down: padding 1, BN eps 1e-4)
         x = ConvBN(self.in_dim, (3, 3), strides=(2, 2), act=nn.relu, padding=_PAD1,
                    bn_epsilon=1e-4, dtype=self.dtype, name="stem_0")(x, train)
-        x = ConvBN(self.dim, (3, 3), strides=(2, 2), act=nn.relu, padding=_PAD1,
+        stem_out = (
+            self.conv_stage_dims[0] if self.conv_stage_dims is not None else self.dim
+        )
+        x = ConvBN(stem_out, (3, 3), strides=(2, 2), act=nn.relu, padding=_PAD1,
                    bn_epsilon=1e-4, dtype=self.dtype, name="stem_1")(x, train)
 
         total = sum(self.depths)
         done = 0
         # ---- conv stages 1-2 --------------------------------------------
         for stage in range(2):
-            dim = self.dim * (2 ** stage)
+            dim = (
+                self.conv_stage_dims[stage]
+                if self.conv_stage_dims is not None
+                else self.dim * (2 ** stage)
+            )
             if stage > 0:
                 x = Downsample(dim, dtype=self.dtype, name=f"downsample_{stage}")(x, train)
             for blk in range(self.depths[stage]):
@@ -634,12 +648,14 @@ def create_faster_vit(
     num_classes: int = 2,
     dtype: Any = jnp.bfloat16,
     head_config: str = "tpu",
+    conv_stage_dims: tuple[int, int] | None = None,
 ) -> FasterViT:
     """``head_config``: "tpu" (default) re-buckets heads to head_dim=128 for
     MXU/lane alignment and uses learned positional tables; "official" is the
     full parity configuration — the wheel's head counts AND its positional
     scheme (log-CPB MLPs, no layer scale, conv biases), required for loading
-    converted official checkpoints (ref: trainers/fastervit.py:371)."""
+    converted official checkpoints (ref: trainers/fastervit.py:371).
+    ``conv_stage_dims`` is BENCHMARK-ONLY (see FasterViT field docs)."""
     key = variant.split("_")[0]
     if key not in _VARIANTS:
         raise KeyError(f"unknown FasterViT variant '{variant}'")
@@ -653,5 +669,6 @@ def create_faster_vit(
         depths=cfg["depths"],
         num_heads=heads,
         pos_mode="cpb" if official else "table",
+        conv_stage_dims=conv_stage_dims,
         dtype=dtype,
     )
