@@ -316,3 +316,54 @@ def convert_torch_checkpoint(
             "randomly-initialized weights"
         )
     return _unflatten(out), unmatched
+
+
+def _inverse_layout(arr: np.ndarray, kind: str) -> np.ndarray:
+    """Flax→torch layout transform — exact inverse of ``_layout``."""
+    if kind == "none":
+        return arr
+    if kind == "talking_head":
+        # flax einsum table [h, g] ← torch nn.Conv2d(h,h,1) [g, h, 1, 1]
+        h, g = arr.shape
+        return arr.T.reshape(g, h, 1, 1)
+    if arr.ndim == 4:  # HWIO → OIHW
+        return np.transpose(arr, (3, 2, 0, 1))
+    if arr.ndim == 2:  # [I, O] → [O, I]
+        return arr.T
+    return arr
+
+
+def export_torch_state_dict(
+    target: dict[str, Any], model_family: str
+) -> dict[str, np.ndarray]:
+    """Reverse conversion: a flax ``{"params", "batch_stats"}`` tree → a
+    reference-layout torch state dict (keys + OIHW/[O,I] layouts of the
+    family's wheel), through the SAME name maps the import path uses.
+
+    The migration story in the other direction: models fine-tuned on TPU
+    load into the reference's torch stack (``trainers/*`` consumers) — and
+    the pipeline-parity harness (tools/parity.py --pipeline) uses it to run
+    native checkpoints through the independent torch eval reimplementation.
+    Returns numpy arrays; wrap in ``torch.tensor`` to ``torch.save``.
+
+    Note: torch-only parameters with no flax counterpart (e.g. a ConvNorm
+    conv bias that the IMPORT path folds into BN running mean) are simply
+    absent — load with ``strict=False`` and zero torch-side leftovers, or
+    check the returned keys against the consumer's ``state_dict()``.
+    """
+    flat = _flatten(target)
+    body = sorted({p[1:] for p in flat})
+    name_map = build_name_map(model_family, body)
+    if not name_map:
+        raise ValueError(f"no name map for model_family={model_family!r}")
+    sd: dict[str, np.ndarray] = {}
+    emitted: set[tuple[tuple[str, ...], str]] = set()
+    for torch_key, (path, kind) in name_map.items():
+        is_stat = path[-1] in ("mean", "var")
+        full = (("batch_stats",) if is_stat else ("params",)) + path
+        if full not in flat or (path, kind) in emitted:
+            continue  # absent in this config / alias spelling already emitted
+        arr = np.asarray(flat[full], np.float32)
+        sd[torch_key] = np.ascontiguousarray(_inverse_layout(arr, kind))
+        emitted.add((path, kind))
+    return sd

@@ -351,3 +351,68 @@ def test_native_export_partial_mismatch_is_tolerant(tmp_path):
     bad.write_bytes(serialization.to_bytes(alien))
     with pytest.raises(ValueError, match="no tensors"):
         load_weights(bad, target)
+
+
+def test_export_torch_state_dict_roundtrip_b3():
+    """Reverse conversion (flax → torch layout) composed with the import
+    path must reproduce every leaf bit-exactly (the migration surface for
+    TPU-trained checkpoints + the pipeline-parity harness's torch side)."""
+    import io as _io
+
+    from deepfakedetection_tpu.models.efficientnet import create_efficientnet
+    from deepfakedetection_tpu.runtime.torch_convert import (
+        convert_torch_checkpoint,
+        export_torch_state_dict,
+    )
+
+    model = create_efficientnet("b3", num_classes=2, dtype=jnp.float32)
+    params, batch_stats = init_model_variables(model, jax.random.key(3), (1, 64, 64, 3))
+    target = {
+        "params": jax.device_get(params),
+        "batch_stats": jax.device_get(batch_stats),
+    }
+    sd = export_torch_state_dict(target, "efficientnet")
+    assert len(sd) > 300
+    buf = _io.BytesIO()
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, buf)
+
+    # import into a DIFFERENTLY-seeded init: every leaf must come back
+    params2, stats2 = init_model_variables(model, jax.random.key(9), (1, 64, 64, 3))
+    target2 = {
+        "params": jax.device_get(params2),
+        "batch_stats": jax.device_get(stats2),
+    }
+    restored, unmatched = convert_torch_checkpoint(
+        buf.getvalue(), target2, model_family="efficientnet"
+    )
+    assert unmatched == []
+    flat_a = jax.tree_util.tree_leaves_with_path(target)
+    flat_b = jax.tree_util.tree_leaves_with_path(restored)
+    assert len(flat_a) == len(flat_b)
+    for (pa, va), (pb, vb) in zip(flat_a, flat_b):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb), err_msg=str(pa))
+
+
+def test_export_torch_state_dict_loads_into_torch_ref_model():
+    """The reverse export's keys line up with the reference consumer's
+    module naming: zero unexpected keys, zero missing (beyond BN counters)."""
+    from deepfakedetection_tpu.models.efficientnet import create_efficientnet
+    from deepfakedetection_tpu.runtime.torch_convert import export_torch_state_dict
+    from torch_refs.efficientnet_torch import EfficientNetB3
+
+    model = create_efficientnet("b3", num_classes=2, dtype=jnp.float32)
+    params, batch_stats = init_model_variables(model, jax.random.key(0), (1, 64, 64, 3))
+    target = {
+        "params": jax.device_get(params),
+        "batch_stats": jax.device_get(batch_stats),
+    }
+    sd = {
+        k: torch.from_numpy(v)
+        for k, v in export_torch_state_dict(target, "efficientnet").items()
+    }
+    tm = EfficientNetB3(num_classes=2)
+    missing, unexpected = tm.load_state_dict(sd, strict=False)
+    assert not unexpected, list(unexpected)[:5]
+    real_missing = [m for m in missing if not m.endswith("num_batches_tracked")]
+    assert not real_missing, real_missing[:5]

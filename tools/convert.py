@@ -9,6 +9,12 @@ conversion report.
     python tools/convert.py --model efficientnet_b3 --weights ref.pth \
         --out efficientnet_b3.flax.msgpack [--official] [--json report.json]
 
+An ``--out`` ending in ``.pth`` converts in the REVERSE direction — any
+loadable checkpoint (native msgpack or torch) exports as a
+reference-layout torch state dict via the same name maps
+(runtime/torch_convert.export_torch_state_dict), so TPU-trained models
+load into the reference's torch stack.
+
 Reference checkpoints carry the torch module naming of the reference's
 builders (reference: orchestration/model_registry.py:32-47); the name maps
 live in runtime/torch_convert.py / runtime/fastervit_convert.py.
@@ -51,7 +57,24 @@ def convert(
     }
     n_leaves = len(jax.tree.leaves(target))
     restored, unmatched = load_weights(weights, target, model_family=spec.family)
-    export_weights(out, restored["params"], restored["batch_stats"])
+    if str(out).endswith(".pth"):
+        # reverse direction: native/flax → reference-layout torch .pth
+        # (runtime/torch_convert.export_torch_state_dict) — TPU-trained
+        # models load into the reference's torch stack
+        import torch
+
+        from deepfakedetection_tpu.runtime.torch_convert import (
+            export_torch_state_dict,
+        )
+
+        sd = {
+            k: torch.from_numpy(v)
+            for k, v in export_torch_state_dict(restored, spec.family).items()
+        }
+        out.parent.mkdir(parents=True, exist_ok=True)
+        torch.save(sd, out)
+    else:
+        export_weights(out, restored["params"], restored["batch_stats"])
     report = {
         "model": model_name,
         "weights": str(weights),

@@ -440,11 +440,33 @@ def run_pipeline_parity(
     report["torch_reference"] = torch_src
     import torch
 
-    sd = torch.load(weights, map_location="cpu", weights_only=True)
-    for wrapper in ("state_dict", "model"):
-        if isinstance(sd, dict) and wrapper in sd and isinstance(sd[wrapper], dict):
-            sd = sd[wrapper]
-    torch_model.load_state_dict(sd, strict=False)
+    from deepfakedetection_tpu.runtime.checkpoint import is_torch_checkpoint
+
+    if is_torch_checkpoint(Path(weights)):
+        sd = torch.load(weights, map_location="cpu", weights_only=True)
+        for wrapper in ("state_dict", "model"):
+            if isinstance(sd, dict) and wrapper in sd and isinstance(sd[wrapper], dict):
+                sd = sd[wrapper]
+    else:
+        # native msgpack export: reverse-convert through the family name map
+        # (runtime/torch_convert.export_torch_state_dict) so BOTH stacks run
+        # the same checkpoint
+        model = _build_flax(spec, num_classes, "f32", official_torch=False)
+        restored, unmatched, _ = _init_and_load(model, spec, Path(weights), img_size)
+        from deepfakedetection_tpu.runtime.torch_convert import (
+            export_torch_state_dict,
+        )
+
+        report["native_checkpoint_unmatched"] = len(unmatched)
+        sd = {
+            k: torch.from_numpy(v)
+            for k, v in export_torch_state_dict(restored, spec.family).items()
+        }
+    missing, unexpected = torch_model.load_state_dict(sd, strict=False)
+    report["torch_load_missing"] = [
+        m for m in missing if not m.endswith("num_batches_tracked")
+    ][:8]
+    report["torch_load_unexpected"] = list(unexpected)[:8]
 
     tests_dir = str(Path(__file__).resolve().parent.parent / "tests")
     if tests_dir not in sys.path:
