@@ -58,7 +58,23 @@ def _lib() -> ctypes.CDLL | None:
             ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte),
             ctypes.POINTER(ctypes.c_int), ctypes.c_int,
         ]
+    if hasattr(lib, "dfd_set_scaled_decode"):
+        lib.dfd_set_scaled_decode.argtypes = [ctypes.c_int]
+        import os
+
+        # DCT-scaled JPEG decode is OPT-IN (round-4 measurement: serving a
+        # PIL-trained model through the scaled chain cost 6 points top-1 on
+        # noise-sensitive content — docs/BENCHMARKS.md "Decode fidelity")
+        if os.environ.get("DFD_NATIVE_SCALED_DECODE") == "1":
+            lib.dfd_set_scaled_decode(1)
     return lib
+
+
+def set_scaled_decode(enable: bool) -> None:
+    """Toggle the DCT-scaled JPEG fast path (default off; see module doc)."""
+    lib = _lib()
+    if lib is not None and hasattr(lib, "dfd_set_scaled_decode"):
+        lib.dfd_set_scaled_decode(1 if enable else 0)
 
 
 def available() -> bool:

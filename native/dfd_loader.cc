@@ -43,6 +43,8 @@ struct ImageU8 {
 // JPEG decode (with scaled decode: pick the largest 1/N <= needed upscale)
 // ---------------------------------------------------------------------------
 
+int g_scaled_decode = 0;  // see the comment at the use site in decode_jpeg
+
 struct JpegErrorMgr {
   jpeg_error_mgr pub;
   jmp_buf jump;
@@ -73,7 +75,14 @@ bool decode_jpeg(const unsigned char* buf, size_t len, int target, ImageU8* out)
 
   // DCT-domain downscale: decode at scale num/8 so the shorter side stays
   // >= target (keeps the later triangle resample a mild downscale).
-  if (target > 0) {
+  // OPT-IN (dfd_set_scaled_decode / DFD_NATIVE_SCALED_DECODE=1): the
+  // scaled decode is a DIFFERENT downsampling chain than PIL's
+  // full-res-decode + one-stage triangle, and a round-4 measurement showed
+  // that serving a PIL-trained model through it costs real accuracy on
+  // noise-sensitive content (hard-set B3: 0.8745 vs 0.9340 top-1, AUC
+  // 0.9488 vs 0.9754 — docs/BENCHMARKS.md). Default is full-res decode:
+  // bit-faithful source pixels, ~0.3 ms slower per 480p JPEG.
+  if (target > 0 && g_scaled_decode) {
     int shorter = std::min(static_cast<int>(cinfo.image_width),
                            static_cast<int>(cinfo.image_height));
     int num = 8;
@@ -358,7 +367,10 @@ bool decode_any(const unsigned char* buf, size_t len, int target, ImageU8* img) 
 
 extern "C" {
 
-int dfd_version() { return 1; }
+int dfd_version() { return 2; }
+
+// Toggle the DCT-scaled JPEG fast path (default off — see decode_jpeg).
+void dfd_set_scaled_decode(int enable) { g_scaled_decode = enable ? 1 : 0; }
 
 const char* dfd_last_error() { return g_last_error.c_str(); }
 

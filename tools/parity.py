@@ -415,12 +415,18 @@ def run_pipeline_parity(
     """
     import tempfile
 
+    import jax
     import jax.numpy as jnp
 
     from deepfakedetection_tpu.data.folder import scan_image_folder
     from deepfakedetection_tpu.evaluate.job import EvalJob, run_eval_job
     from deepfakedetection_tpu.registry import get_model_spec
     from deepfakedetection_tpu.runtime.paths import ensure_run_dirs
+
+    # TPU MXU runs f32 matmuls as single-pass bf16 under the DEFAULT
+    # precision; the parity measurement wants the pipeline's numerics, not
+    # MXU rounding, so pin the float32 path for this process
+    jax.config.update("jax_default_matmul_precision", "highest")
 
     spec = get_model_spec(model_name)
     images_root = Path(images_root)
