@@ -131,3 +131,20 @@ def test_shard_loader_native_buffer_batch(tiny_image_tree, tmp_path):
         np.testing.assert_array_equal(ba.images, bb.images)
         np.testing.assert_array_equal(ba.labels, bb.labels)
         np.testing.assert_array_equal(ba.mask, bb.mask)
+
+
+def test_scaled_decode_opt_in_and_fidelity(smooth_images):
+    """Round 4: DCT-scaled JPEG decode is OPT-IN; the full-res default must
+    sit closer to PIL than the scaled chain on the same image."""
+    jpg, _ = smooth_images
+    pil = decode_eval(jpg, build_eval_plan(96)).astype(int)
+    default = native.decode_image(jpg, 96).astype(int)  # full-res default
+    native.set_scaled_decode(True)
+    try:
+        scaled = native.decode_image(jpg, 96).astype(int)
+    finally:
+        native.set_scaled_decode(False)
+    d_full = np.abs(pil - default).mean()
+    d_scaled = np.abs(pil - scaled).mean()
+    assert d_full <= d_scaled
+    assert d_full < 0.5  # sub-LSB against PIL in the faithful default
