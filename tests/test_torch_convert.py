@@ -416,3 +416,67 @@ def test_export_torch_state_dict_loads_into_torch_ref_model():
     assert not unexpected, list(unexpected)[:5]
     real_missing = [m for m in missing if not m.endswith("num_batches_tracked")]
     assert not real_missing, real_missing[:5]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "family,make_model,size",
+    [
+        (
+            "efficientformerv2",
+            lambda: __import__(
+                "deepfakedetection_tpu.models.efficientformer_v2",
+                fromlist=["create_efficientformer_v2"],
+            ).create_efficientformer_v2("s1", num_classes=2, dtype=jnp.float32),
+            64,
+        ),
+        (
+            "fastervit",
+            lambda: __import__(
+                "deepfakedetection_tpu.models.fastervit",
+                fromlist=["create_faster_vit"],
+            ).create_faster_vit(
+                "2", num_classes=2, dtype=jnp.float32, head_config="official"
+            ),
+            224,
+        ),
+    ],
+)
+def test_export_torch_state_dict_roundtrip_other_families(family, make_model, size):
+    """Reverse conversion round-trips bit-exactly for the transformer
+    families too (224 for FasterViT so the HAT/carrier-token params are in
+    the map)."""
+    import io as _io
+
+    from deepfakedetection_tpu.runtime.torch_convert import (
+        convert_torch_checkpoint,
+        export_torch_state_dict,
+    )
+
+    model = make_model()
+    params, batch_stats = init_model_variables(
+        model, jax.random.key(3), (1, size, size, 3)
+    )
+    target = {
+        "params": jax.device_get(params),
+        "batch_stats": jax.device_get(batch_stats),
+    }
+    sd = export_torch_state_dict(target, family)
+    assert len(sd) > 100
+    buf = _io.BytesIO()
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, buf)
+    params2, stats2 = init_model_variables(model, jax.random.key(9), (1, size, size, 3))
+    target2 = {
+        "params": jax.device_get(params2),
+        "batch_stats": jax.device_get(stats2),
+    }
+    restored, unmatched = convert_torch_checkpoint(
+        buf.getvalue(), target2, model_family=family
+    )
+    assert unmatched == []
+    for (pa, va), (pb, vb) in zip(
+        jax.tree_util.tree_leaves_with_path(target),
+        jax.tree_util.tree_leaves_with_path(restored),
+    ):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb), err_msg=str(pa))
