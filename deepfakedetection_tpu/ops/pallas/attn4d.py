@@ -53,7 +53,8 @@ def _attn4d_kernel(
         s = jax.lax.dot_general(
             qh, k,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
         )
         scores.append(s * scale + bias_ref[h][None])
 
@@ -77,7 +78,8 @@ def _attn4d_kernel(
         ctx = jax.lax.dot_general(
             p2.astype(jnp.bfloat16), v,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
         )
         out = jnp.where(lane_v == g, ctx, out)
     out_ref[:] = out.astype(jnp.bfloat16)

@@ -57,6 +57,7 @@ def _fwd_kernel(
     qkv2 = jax.lax.dot_general(
         x2, wqkv_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
         preferred_element_type=jnp.float32,
     )
     qkv = (qkv2 + bqkv_ref[0][None]).astype(jnp.bfloat16).reshape(G, Np, 3 * C)
@@ -66,6 +67,7 @@ def _fwd_kernel(
     out2 = jax.lax.dot_general(
         ctx.reshape(G * Np, C), wproj_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
         preferred_element_type=jnp.float32,
     )
     out_ref[:] = (out2 + bproj_ref[0][None]).astype(jnp.bfloat16).reshape(
@@ -87,6 +89,7 @@ def _bwd_kernel(
     qkv2 = jax.lax.dot_general(
         x2, wqkv,
         dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
         preferred_element_type=jnp.float32,
     )
     qkv = (qkv2 + bqkv_ref[0][None]).astype(jnp.bfloat16).reshape(G, Np, 3 * C)
@@ -99,12 +102,14 @@ def _bwd_kernel(
     dwproj = jax.lax.dot_general(  # ctxᵀ·dout → [C, C]
         ctx.reshape(G * Np, C), do2,
         dimension_numbers=(((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
         preferred_element_type=jnp.float32,
     )
     dbproj = jnp.sum(do2.astype(jnp.float32), axis=0)
     dctx = jax.lax.dot_general(  # dout·Wprojᵀ → [G·Np, C]
         do2, wproj,
         dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
         preferred_element_type=jnp.float32,
     ).astype(jnp.bfloat16).reshape(G, Np, C)
     # --- attention backward (sliced heads, probs reused from recompute) ---
@@ -117,12 +122,14 @@ def _bwd_kernel(
     dwqkv = jax.lax.dot_general(  # xᵀ·dqkv → [C, 3C]
         x2, dqkv2,
         dimension_numbers=(((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
         preferred_element_type=jnp.float32,
     )
     dbqkv = jnp.sum(dqkv2.astype(jnp.float32), axis=0)
     dx2 = jax.lax.dot_general(  # dqkv·Wqkvᵀ → [G·Np, C]
         dqkv2, wqkv,
         dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
         preferred_element_type=jnp.float32,
     )
     dx_ref[:] = dx2.astype(jnp.bfloat16).reshape(G, Np, C)
@@ -281,21 +288,25 @@ def attn_subblock_reference(
     d = C // num_heads
     qkv = (
         jnp.einsum("bnc,cf->bnf", x.astype(jnp.bfloat16), wqkv.astype(jnp.bfloat16),
-                   preferred_element_type=jnp.float32)
+                   precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32)
         + bqkv.astype(jnp.float32)[None, None]
     ).astype(jnp.bfloat16)
     q = qkv[:, :, 0:C].reshape(B, Np, num_heads, d)
     k = qkv[:, :, C : 2 * C].reshape(B, Np, num_heads, d)
     v = qkv[:, :, 2 * C : 3 * C].reshape(B, Np, num_heads, d)
-    s = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
+    s = jnp.einsum("bnhd,bmhd->bhnm", q, k, precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32)
     p = jax.nn.softmax(s * scale + bias[None].astype(jnp.float32), axis=-1)
     ctx = jnp.einsum(
         "bhnm,bmhd->bnhd", p.astype(jnp.bfloat16), v,
+        precision=jax.lax.Precision.DEFAULT,
         preferred_element_type=jnp.float32,
     ).astype(jnp.bfloat16).reshape(B, Np, C)
     out = (
         jnp.einsum("bnc,cf->bnf", ctx, wproj.astype(jnp.bfloat16),
-                   preferred_element_type=jnp.float32)
+                   precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32)
         + bproj.astype(jnp.float32)[None, None]
     )
     return out.astype(jnp.bfloat16)

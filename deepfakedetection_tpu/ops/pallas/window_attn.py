@@ -44,6 +44,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale: float):
     scores = jax.lax.dot_general(
         q, k,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        precision=jax.lax.Precision.DEFAULT,
         preferred_element_type=jnp.float32,
     ).reshape(G, h, Np, Np)
     scores = scores * scale + bias[None]
@@ -54,6 +55,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale: float):
     out = jax.lax.dot_general(
         probs.reshape(G * h, Np, Np), v,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.DEFAULT,
         preferred_element_type=jnp.float32,
     )  # [G*h, Np, Dp]
     out_ref[:] = out.reshape(G, h, Np, Dp).astype(jnp.bfloat16)
@@ -89,7 +91,8 @@ def _attn_kernel_v2(qkv_ref, bias_ref, out_ref, *, scale: float, num_heads: int)
         scores = jax.lax.dot_general(
             qh, k,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
         )  # [G, Np, Np] — q_h·k_h via the lane mask
         scores = scores * scale + bias_ref[h][None]
         m = jnp.max(scores, axis=-1, keepdims=True)
@@ -98,7 +101,8 @@ def _attn_kernel_v2(qkv_ref, bias_ref, out_ref, *, scale: float, num_heads: int)
         ctx = jax.lax.dot_general(
             probs, v,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
         )  # [G, Np, C]
         out = out + jnp.where(mask, ctx, jnp.zeros_like(out))
     out_ref[:] = out.astype(jnp.bfloat16)
@@ -152,7 +156,8 @@ def sliced_head_attention(
         scores = jax.lax.dot_general(
             qh, kh,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
         )  # [G, Np, Np]
         scores = scores * scale + bias[h][None]
         m = jnp.max(scores, axis=-1, keepdims=True)
@@ -164,7 +169,8 @@ def sliced_head_attention(
             jax.lax.dot_general(
                 p.astype(jnp.bfloat16), vh,
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
             ).astype(jnp.bfloat16)
         )  # [G, Np, d]
     return jnp.concatenate(parts, axis=2), probs_list
@@ -200,7 +206,8 @@ def sliced_head_attention_bwd(
             scores = jax.lax.dot_general(
                 qh, kh,
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
             )  # [G, Np, Np]
             scores = scores * scale + bias[h][None]
             m = jnp.max(scores, axis=-1, keepdims=True)
@@ -211,13 +218,15 @@ def sliced_head_attention_bwd(
             jax.lax.dot_general(
                 p16, doh,
                 dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
             ).astype(jnp.bfloat16)
         )  # [G, Np(keys), d]
         dp = jax.lax.dot_general(
             doh, vh,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
         )  # [G, Np, Np]
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
         dbias_planes.append(jnp.sum(ds, axis=0))
@@ -226,14 +235,16 @@ def sliced_head_attention_bwd(
             (jax.lax.dot_general(
                 ds16, kh,
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
             ) * scale).astype(jnp.bfloat16)
         )
         dk_parts.append(
             (jax.lax.dot_general(
                 ds16, qh,
                 dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
             ) * scale).astype(jnp.bfloat16)
         )
     dqkv = jnp.concatenate(dq_parts + dk_parts + dv_parts, axis=2)
@@ -325,7 +336,8 @@ def _attn_bwd_kernel_v2(
         scores = jax.lax.dot_general(
             qh, k,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
         )
         scores = scores * scale + bias_ref[h][None]
         m = jnp.max(scores, axis=-1, keepdims=True)
@@ -336,14 +348,16 @@ def _attn_bwd_kernel_v2(
         dvh = jax.lax.dot_general(
             p16, doh,
             dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
         )  # [G, Np(keys), C]
         dv = jnp.where(mask, dvh.astype(jnp.bfloat16), dv)
         # dP = dO_h vᵀ (full-C contraction; mask zeroes other heads)
         dp = jax.lax.dot_general(
             doh, v,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
         )  # [G, Np, Np]
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # f32
         dbias_planes.append(jnp.sum(ds, axis=0))
@@ -352,14 +366,16 @@ def _attn_bwd_kernel_v2(
         dqh = jax.lax.dot_general(
             ds16, k,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
         )
         dq = jnp.where(mask, (dqh * scale).astype(jnp.bfloat16), dq)
         # dK_h = scale·dSᵀ·q_h — contract the query dim
         dkh = jax.lax.dot_general(
             ds16, qh,
             dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
         )
         dk = jnp.where(mask, (dkh * scale).astype(jnp.bfloat16), dk)
     dqkv_ref[:] = jnp.concatenate([dq, dk, dv], axis=2)
@@ -503,6 +519,7 @@ def _attn_bwd_kernel_v3(
     do = do_ref[:].reshape(GH, Np, Dp)
     batched = lambda a, b, dims: jax.lax.dot_general(  # noqa: E731
         a, b, dimension_numbers=(dims, ((0,), (0,))),
+        precision=jax.lax.Precision.DEFAULT,
         preferred_element_type=jnp.float32,
     )
     scores = batched(q, k, ((2,), (2,))) * scale  # [GH, Np, Np]
@@ -694,17 +711,22 @@ def _xla_window_attention_bwd(qkv, bias, g, *, num_heads, scale):
     v = split(qkv[:, :, 2 * C : 3 * C])
     do = split(g.astype(qkv.dtype))
     s = jnp.einsum(
-        "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
+        "bhnd,bhmd->bhnm", q, k, precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32
     ) * scale + bias[None]
     p = jax.nn.softmax(s, axis=-1)
     p16 = p.astype(qkv.dtype)
-    dv = jnp.einsum("bhnm,bhnd->bhmd", p16, do, preferred_element_type=jnp.float32)
-    dp = jnp.einsum("bhnd,bhmd->bhnm", do, v, preferred_element_type=jnp.float32)
+    dv = jnp.einsum("bhnm,bhnd->bhmd", p16, do, precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32)
+    dp = jnp.einsum("bhnd,bhmd->bhnm", do, v, precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32)
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
     dbias = jnp.sum(ds, axis=0)
     ds16 = ds.astype(qkv.dtype)
-    dq = jnp.einsum("bhnm,bhmd->bhnd", ds16, k, preferred_element_type=jnp.float32) * scale
-    dk = jnp.einsum("bhnm,bhnd->bhmd", ds16, q, preferred_element_type=jnp.float32) * scale
+    dq = jnp.einsum("bhnm,bhmd->bhnd", ds16, k, precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32) * scale
+    dk = jnp.einsum("bhnm,bhnd->bhmd", ds16, q, precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32) * scale
 
     def merge(t):
         return t.astype(qkv.dtype).transpose(0, 2, 1, 3).reshape(B, Np, C)

@@ -425,8 +425,13 @@ def run_pipeline_parity(
 
     # TPU MXU runs f32 matmuls as single-pass bf16 under the DEFAULT
     # precision; the parity measurement wants the pipeline's numerics, not
-    # MXU rounding, so pin the float32 path for this process
+    # MXU rounding, so pin the float32 path for this process — and route
+    # attention through XLA (the Pallas kernels compute bf16 internally by
+    # design, which is the serving trade-off, not pipeline semantics)
+    import os
+
     jax.config.update("jax_default_matmul_precision", "highest")
+    os.environ["DFD_DISABLE_PALLAS"] = "1"
 
     spec = get_model_spec(model_name)
     images_root = Path(images_root)
