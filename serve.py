@@ -40,6 +40,7 @@ import argparse
 import base64
 import io
 import json
+import os
 import queue
 import threading
 import time
@@ -77,6 +78,16 @@ def _bucket(n: int, max_batch: int) -> int:
     return min(b, max_batch)
 
 
+class BatcherStopped(RuntimeError):
+    """Raised by :meth:`MicroBatcher.submit` after :meth:`MicroBatcher.stop`.
+
+    A request thread that captured the pre-reload ServeState can reach a
+    batcher whose worker already consumed the stop sentinel; without this
+    fail-fast the Future would never resolve and the request would block
+    for the full result timeout. Callers retry against the current state.
+    """
+
+
 class MicroBatcher:
     """Coalesce concurrent submissions into padded device batches.
 
@@ -100,6 +111,12 @@ class MicroBatcher:
         self.name = name
         self._q: queue.Queue[tuple[np.ndarray, Future] | None] = queue.Queue()
         self._lock = threading.Lock()
+        # submit/stop ordering: _submit_lock makes "check stopped, enqueue"
+        # atomic against "set stopped, enqueue sentinel", so FIFO order
+        # guarantees no work item ever follows the sentinel — the worker
+        # never strands a queued Future.
+        self._submit_lock = threading.Lock()
+        self._stopped = False
         self.n_requests = 0
         self.n_batches = 0
         self.batch_sizes: deque[int] = deque(maxlen=1024)
@@ -112,11 +129,20 @@ class MicroBatcher:
     def submit(self, arr: np.ndarray) -> Future:
         fut: Future = Future()
         fut._t0 = time.perf_counter()  # type: ignore[attr-defined]
-        self._q.put((arr, fut))
+        with self._submit_lock:
+            if self._stopped:
+                raise BatcherStopped(
+                    f"batcher {self.name!r} is stopped (state was reloaded)"
+                )
+            self._q.put((arr, fut))
         return fut
 
     def stop(self) -> None:
-        self._q.put(None)
+        with self._submit_lock:
+            if self._stopped:
+                return
+            self._stopped = True
+            self._q.put(None)
         self._thread.join(timeout=5)
 
     def _worker(self) -> None:
@@ -547,6 +573,28 @@ class _Handler(BaseHTTPRequestHandler):
     def log_message(self, fmt: str, *args: Any) -> None:  # quiet by default
         pass
 
+    def _reload_authorized(self) -> bool:
+        """Gate POST /reload: an expensive model rebuild must not be
+        triggerable by anyone reachable on a 0.0.0.0 bind.
+
+        With ``reload_token`` configured (``--reload-token`` /
+        ``DFD_RELOAD_TOKEN``) the request must present it via
+        ``Authorization: Bearer <t>`` or ``X-Reload-Token: <t>``. Without a
+        token, /reload is only honored on loopback binds; SIGHUP remains
+        the operator path either way.
+        """
+        import hmac
+
+        token = getattr(type(self), "reload_token", None)
+        if token:
+            presented = self.headers.get("X-Reload-Token", "")
+            auth = self.headers.get("Authorization", "")
+            if auth.startswith("Bearer "):
+                presented = presented or auth[len("Bearer "):]
+            return hmac.compare_digest(presented, token)
+        bind = str(getattr(type(self), "bind_host", "127.0.0.1"))
+        return bind in ("127.0.0.1", "localhost", "::1")
+
     def _send_json(self, payload: dict[str, Any], code: int = 200) -> None:
         body = json.dumps(payload).encode()
         self.send_response(code)
@@ -576,6 +624,12 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self) -> None:  # noqa: N802
         if self.path.startswith("/reload"):
+            if not self._reload_authorized():
+                self._send_json(
+                    {"error": "reload not authorized: set DFD_RELOAD_TOKEN and "
+                     "send it as 'Authorization: Bearer <token>' or "
+                     "'X-Reload-Token', or use SIGHUP on the host"}, 403)
+                return
             try:
                 summary = reload_state(type(self))
             except Exception as exc:
@@ -613,7 +667,13 @@ class _Handler(BaseHTTPRequestHandler):
             return
         t0 = time.perf_counter()
         try:
-            results = predict_once(self.state, image, only, raw=blob)
+            try:
+                results = predict_once(self.state, image, only, raw=blob)
+            except BatcherStopped:
+                # raced a /reload: the state captured above was swapped out
+                # and its batchers stopped before submit landed. The class
+                # attribute already points at the new state — retry once.
+                results = predict_once(self.state, image, only, raw=blob)
         except KeyError as exc:
             self._send_json({"error": f"unknown model {exc}"}, 404)
             return
@@ -643,10 +703,21 @@ def reload_state(handler_cls) -> dict[str, Any]:
     re-sweep opens during a long-running serve (VERDICT r3 weak #4).
     Triggered by ``POST /reload`` or SIGHUP. In-flight requests keep the
     old state (attribute swap is atomic); its batchers drain in a
-    background thread after the swap.
+    background thread after the swap. A request that loses the race and
+    submits to an already-stopped old batcher gets :class:`BatcherStopped`
+    and is retried against the new state by the handler.
+
+    Memory note: the default builds + warms the NEW state while the OLD
+    models are still resident — device (HBM) usage transiently doubles.
+    On a memory-tight box set ``DFD_RELOAD_DRAIN_FIRST=1`` to close the
+    old state before building the new one (brief 503/retry window while
+    requests race the rebuild, but no double residency).
     """
+    drain_first = os.environ.get("DFD_RELOAD_DRAIN_FIRST", "0") == "1"
     with handler_cls.reload_lock:
         args = handler_cls.reload_args
+        if drain_first:
+            handler_cls.state.close()
         new_state = build_state(
             args["config_path"],
             max_batch=args["max_batch"],
@@ -655,7 +726,8 @@ def reload_state(handler_cls) -> dict[str, Any]:
         )
         new_state.warmup("first")
         old, handler_cls.state = handler_cls.state, new_state
-        threading.Thread(target=old.close, daemon=True).start()
+        if not drain_first:
+            threading.Thread(target=old.close, daemon=True).start()
     return {
         "status": "reloaded",
         "models": {
@@ -674,6 +746,7 @@ def build_server(
     max_wait_ms: float = 5.0,
     state: ServeState | None = None,
     native_decode: bool | None = None,
+    reload_token: str | None = None,
 ) -> ThreadingHTTPServer:
     """Construct (but don't start) the HTTP server; ``port=0`` picks a free
     port (``server.server_address`` reports it) — used by tests."""
@@ -687,6 +760,8 @@ def build_server(
         {
             "state": st,
             "reload_lock": threading.Lock(),
+            "reload_token": reload_token or os.environ.get("DFD_RELOAD_TOKEN") or None,
+            "bind_host": host,
             "reload_args": {
                 "config_path": config_path,
                 "max_batch": max_batch,
@@ -714,6 +789,12 @@ def main() -> None:
         help="decode request bytes with the C++ library (~2x faster for "
         "JPEG/PNG; default honors DFD_NATIVE_EVAL=1)",
     )
+    parser.add_argument(
+        "--reload-token", default=None,
+        help="bearer token required by POST /reload (default: "
+        "DFD_RELOAD_TOKEN env; without a token /reload only works on "
+        "loopback binds — SIGHUP is always available)",
+    )
     args = parser.parse_args()
 
     from deepfakedetection_tpu.runtime.compile_cache import enable as enable_cache
@@ -732,6 +813,7 @@ def main() -> None:
         max_wait_ms=args.max_wait_ms,
         state=state,
         native_decode=args.native_decode,
+        reload_token=args.reload_token,
     )
     host, port = server.server_address[:2]
     print(f"[serve] listening on http://{host}:{port} "

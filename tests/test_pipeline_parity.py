@@ -152,3 +152,31 @@ def test_full_pipeline_parity_on_converted_checkpoint(parity_tree, tmp_path, mod
     assert report.get("auroc_delta", 0.0) <= 0.05, report
     if model_name == "efficientnet_b3":
         assert report["gate_pipeline"], report
+
+
+def test_reference_eval_skips_sweep_on_single_class_val(tmp_path):
+    """Reference semantics (ref orchestrator.py:535-546): the threshold
+    sweep only runs for binary tasks when val holds BOTH classes; a
+    single-class val split keeps threshold=0.5 (advisor r4)."""
+    torch = pytest.importorskip("torch")
+    from torch_refs.eval_pipeline import run_reference_eval
+
+    rng = np.random.default_rng(7)
+    for split, classes in (("val", ["fake"]), ("test", ["fake", "real"])):
+        for cls in classes:
+            d = tmp_path / split / cls
+            d.mkdir(parents=True)
+            for i in range(3):
+                Image.fromarray(
+                    rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+                ).save(d / f"{i}.png")
+
+    class Const(torch.nn.Module):
+        def forward(self, x):
+            n = x.shape[0]
+            out = torch.zeros((n, 2))
+            out[:, 1] = x.mean(dim=(1, 2, 3))  # nondegenerate but arbitrary
+            return out
+
+    ref = run_reference_eval(Const(), tmp_path, img_size=32)
+    assert ref["threshold"] == 0.5

@@ -6,6 +6,7 @@ import io
 import json
 import threading
 import time
+import urllib.error
 import urllib.request
 from concurrent.futures import ThreadPoolExecutor
 
@@ -571,3 +572,95 @@ def test_reload_reresolves_threshold_and_temperature(tmp_path, monkeypatch):
         server.shutdown()
         thread.join(timeout=10)
         server.RequestHandlerClass.state.close()
+
+
+def test_microbatcher_submit_after_stop_fails_fast():
+    """A stopped batcher must reject submissions immediately (advisor r4
+    medium): the reload race would otherwise strand a Future for the full
+    result timeout."""
+    mb = MicroBatcher(lambda b: np.zeros((b.shape[0], 2), np.float32),
+                      max_batch=4, max_wait_ms=1.0, name="stopped")
+    mb.stop()
+    t0 = time.perf_counter()
+    with pytest.raises(serve.BatcherStopped):
+        mb.submit(np.zeros((2, 2, 3), np.uint8))
+    assert time.perf_counter() - t0 < 1.0
+    # idempotent stop
+    mb.stop()
+
+
+def test_microbatcher_stop_drains_queued_items():
+    """Every Future enqueued before stop() must resolve: the submit/stop
+    lock orders all work items ahead of the sentinel, and the worker
+    flushes what it collected when it sees the sentinel."""
+    def runner(batch: np.ndarray) -> np.ndarray:
+        time.sleep(0.01)
+        return np.stack([np.full((2,), a.mean(), np.float32) for a in batch])
+
+    mb = MicroBatcher(runner, max_batch=2, max_wait_ms=50.0, name="drain")
+    futs = [mb.submit(np.full((2, 2, 3), i, np.uint8)) for i in range(7)]
+    stopper = threading.Thread(target=mb.stop)
+    stopper.start()
+    results = [float(f.result(timeout=30)[0]) for f in futs]
+    stopper.join(timeout=30)
+    assert results == [float(i) for i in range(7)]
+
+
+def test_reload_token_gating(tmp_path, monkeypatch):
+    """POST /reload with a configured token: 403 without it, 200 with it
+    (either header form); loopback-without-token stays allowed (advisor r4
+    low: unauthenticated reload on 0.0.0.0 binds)."""
+    cfg = {
+        "data": {"root": str(tmp_path / "data"), "num_classes": 2, "img_size": 32},
+        "models": {"efficientnet_b3": {"output_dir": str(tmp_path / "runs/t")}},
+    }
+    p = tmp_path / "cfg.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    import deepfakedetection_tpu.orchestrator as orchestrator
+
+    monkeypatch.setattr(orchestrator, "get_model_spec", lambda name: tiny_spec())
+    monkeypatch.chdir(tmp_path)
+    server = serve.build_server(p, port=0, max_batch=4, max_wait_ms=2.0,
+                                reload_token="s3cret")
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    host, port = server.server_address[:2]
+    base = f"http://{host}:{port}"
+    try:
+        req = urllib.request.Request(f"{base}/reload", data=b"", method="POST")
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(req, timeout=30)
+        assert err.value.code == 403
+
+        req = urllib.request.Request(
+            f"{base}/reload", data=b"", method="POST",
+            headers={"X-Reload-Token": "s3cret"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            assert json.loads(resp.read())["status"] == "reloaded"
+
+        req = urllib.request.Request(
+            f"{base}/reload", data=b"", method="POST",
+            headers={"Authorization": "Bearer s3cret"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            assert json.loads(resp.read())["status"] == "reloaded"
+    finally:
+        server.shutdown()
+        thread.join(timeout=10)
+        server.RequestHandlerClass.state.close()
+
+
+def test_reload_denied_on_public_bind_without_token():
+    """Handler-level check: no token + non-loopback bind → not authorized
+    (SIGHUP remains the operator path)."""
+    class H:
+        reload_token = None
+        bind_host = "0.0.0.0"
+        headers: dict = {}
+
+    class H2(H):
+        bind_host = "127.0.0.1"
+
+    assert serve._Handler._reload_authorized(H()) is False
+    assert serve._Handler._reload_authorized(H2()) is True

@@ -166,10 +166,17 @@ def run_reference_eval(
     )
     if val_samples:
         vprobs, vtargets = run_split(model, val_samples, img_size, batch)
-        threshold = sweep_threshold(vprobs[:, 1], vtargets)
+        # reference semantics (orchestration/orchestrator.py:535-546): the
+        # sweep only runs for BINARY tasks when val contains BOTH classes
+        # (np.unique(val_true).size > 1); otherwise threshold stays 0.5
+        if vprobs.shape[1] == 2 and np.unique(vtargets).size > 1:
+            threshold = sweep_threshold(vprobs[:, 1], vtargets)
     test_samples, classes = scan_folder(data_root / test_split)
     probs, targets = run_split(model, test_samples, img_size, batch)
-    preds = (probs[:, 1] >= threshold).astype(np.int64)
+    if probs.shape[1] == 2:
+        preds = (probs[:, 1] >= threshold).astype(np.int64)
+    else:
+        preds = probs.argmax(axis=1).astype(np.int64)
     return {
         "files": [str(p) for p, _ in test_samples],
         "classes": classes,

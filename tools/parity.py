@@ -395,6 +395,43 @@ def run_pipeline_parity(
     test_split: str = "test",
     num_workers: int = 0,
 ) -> dict:
+    """Process-state-safe wrapper around :func:`_run_pipeline_parity_impl`.
+
+    The parity run pins ``jax_default_matmul_precision='highest'`` and
+    ``DFD_DISABLE_PALLAS=1`` for measurement fidelity; both are restored
+    afterwards so an in-process caller (pytest) doesn't inherit silently
+    changed numerics/kernel dispatch for every later test.
+    """
+    import os
+
+    import jax
+
+    prior_prec = jax.config.jax_default_matmul_precision
+    prior_env = os.environ.get("DFD_DISABLE_PALLAS")
+    try:
+        return _run_pipeline_parity_impl(
+            model_name, weights, images_root, img_size, batch, num_classes,
+            val_split, test_split, num_workers,
+        )
+    finally:
+        jax.config.update("jax_default_matmul_precision", prior_prec)
+        if prior_env is None:
+            os.environ.pop("DFD_DISABLE_PALLAS", None)
+        else:
+            os.environ["DFD_DISABLE_PALLAS"] = prior_env
+
+
+def _run_pipeline_parity_impl(
+    model_name: str,
+    weights: Path,
+    images_root: Path,
+    img_size: int = 224,
+    batch: int = 32,
+    num_classes: int = 2,
+    val_split: str = "val",
+    test_split: str = "test",
+    num_workers: int = 0,
+) -> dict:
     """Full-pipeline two-implementation parity (VERDICT r3 #1).
 
     Runs the reference's COMPOSED eval semantics — decode →
@@ -528,7 +565,12 @@ def run_pipeline_parity(
     thr_ref = float(ref["threshold"])
     report["threshold_jax"] = thr_jax
     report["threshold_torch"] = thr_ref
-    report["threshold_step_delta"] = abs(thr_jax - thr_ref) / 0.002
+    # compare GRID INDICES, not raw deltas: np.linspace(0,1,501) steps are
+    # not exactly 0.002 in float64, so abs(Δthr)/0.002 for one legitimate
+    # grid step can compute to 1.0000000000000002 and flip the gate
+    report["threshold_step_delta"] = abs(
+        round(thr_jax / 0.002) - round(thr_ref / 0.002)
+    )
     report["accuracy_jax"] = float(result.metrics["accuracy"])
     report["accuracy_torch"] = ref["accuracy"]
     report["accuracy_delta_images"] = abs(
