@@ -245,6 +245,15 @@ def main() -> None:
         help="measure in-step Mixup+CutMix (training extension; train only)",
     )
     parser.add_argument(
+        "--conv-remat", nargs="?", const="full", default=None,
+        choices=["full", "save-conv"],
+        help="rematerialize FasterViT conv stages 1-2 in the backward "
+             "(train only; numerics-identical). 'full' recomputes the whole "
+             "block (trades conv re-FLOPs for stored-activation traffic); "
+             "'save-conv' keeps the MXU conv outputs and recomputes only "
+             "the BN/GELU elementwise chains",
+    )
+    parser.add_argument(
         "--pad-conv-stages", action="store_true",
         help="BENCHMARK-ONLY FasterViT variant with conv stages 1-2 padded "
              "to full 128-lane tiles (96/192 → 128/256, random weights, no "
@@ -262,6 +271,13 @@ def main() -> None:
         parser.error("--mixup is a train-only path")
     kwargs = {"head_config": "official"} if args.official else {}
     suffix = "_official" if args.official else ""
+    if args.conv_remat:
+        if "faster_vit" not in args.model:
+            parser.error("--conv-remat is a FasterViT option")
+        if args.mode != "train":
+            parser.error("--conv-remat only affects the backward (train mode)")
+        kwargs["conv_remat"] = args.conv_remat
+        suffix += "_convremat" if args.conv_remat == "full" else "_convrematsc"
     if args.pad_conv_stages:
         if "faster_vit" not in args.model:
             parser.error("--pad-conv-stages is a FasterViT benchmark variant")

@@ -341,6 +341,13 @@ class ConvBN(nn.Module):
             )
             if conv_bias is not None:
                 y = y + conv_bias.astype(self.dtype)
+            # no-op outside jax.checkpoint; under a save_only_these_names
+            # policy it marks the raw conv output as the ONLY saved residual
+            # so the BN/act chain recomputes in the backward while the MXU
+            # conv does not (fastervit.py conv_remat="save-conv")
+            from jax.ad_checkpoint import checkpoint_name
+
+            y = checkpoint_name(y, "convbn_raw")
             axes = (0, 1, 2)
             # one-pass stats: E[x], E[x²] fuse into a single read of y
             mean = jnp.mean(y, axis=axes, dtype=jnp.float32)

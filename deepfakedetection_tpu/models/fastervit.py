@@ -37,6 +37,7 @@ from __future__ import annotations
 from functools import lru_cache
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -511,6 +512,18 @@ class FasterViT(nn.Module):
     # if those convs are lane-limited, the padded shape's extra FLOPs are
     # ~free; if the step slows proportionally, the ceiling claim is wrong.
     conv_stage_dims: tuple[int, int] | None = None
+    # Rematerialize the stage-1/2 ConvBlocks in the backward pass
+    # (flax nn.remat, recompute-all policy). The round-4 falsification A/B
+    # left HBM traffic at the conv stages' fusion depth as the open
+    # official-train bottleneck (docs/BENCHMARKS.md "Round-4 falsification
+    # A/B"); remat trades conv re-FLOPs (the stages have 25-40% MXU
+    # headroom) for skipping the stored-activation write+read per block.
+    # Numerics are unchanged (same ops, same order). A/B via
+    # bench.py --conv-remat. False/None = off; "full" (or True) = recompute
+    # the whole block; "save-conv" = save only the raw conv outputs
+    # (checkpoint_name "convbn_raw" in ConvBN) and recompute just the
+    # BN-normalize/GELU elementwise chains — no conv re-FLOPs.
+    conv_remat: bool | str = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -540,9 +553,21 @@ class FasterViT(nn.Module):
             )
             if stage > 0:
                 x = Downsample(dim, dtype=self.dtype, name=f"downsample_{stage}")(x, train)
+            if self.conv_remat in (True, "full"):
+                block_cls = nn.remat(ConvBlock, static_argnums=(2,))
+            elif self.conv_remat == "save-conv":
+                block_cls = nn.remat(
+                    ConvBlock,
+                    static_argnums=(2,),
+                    policy=jax.checkpoint_policies.save_only_these_names(
+                        "convbn_raw"
+                    ),
+                )
+            else:
+                block_cls = ConvBlock
             for blk in range(self.depths[stage]):
                 dp = self.drop_path_rate * (done + blk) / max(total - 1, 1)
-                x = ConvBlock(dim, dp, layer_scale=layer_scale,
+                x = block_cls(dim, dp, layer_scale=layer_scale,
                               use_conv_bias=official, dtype=self.dtype,
                               name=f"stage{stage}_block{blk}")(x, train)
             done += self.depths[stage]
@@ -649,6 +674,7 @@ def create_faster_vit(
     dtype: Any = jnp.bfloat16,
     head_config: str = "tpu",
     conv_stage_dims: tuple[int, int] | None = None,
+    conv_remat: bool | str = False,
 ) -> FasterViT:
     """``head_config``: "tpu" (default) re-buckets heads to head_dim=128 for
     MXU/lane alignment and uses learned positional tables; "official" is the
@@ -670,5 +696,6 @@ def create_faster_vit(
         num_heads=heads,
         pos_mode="cpb" if official else "table",
         conv_stage_dims=conv_stage_dims,
+        conv_remat=conv_remat,
         dtype=dtype,
     )
