@@ -28,6 +28,20 @@
 #include <thread>
 #include <vector>
 
+// libjpeg-turbo partial-decode API: exported by the system libjpeg.so
+// (turbo 2.1.5) but absent from the stock jpeglib.h shipped with it.
+// jpeg_crop_scanline restricts IDCT + color conversion to a column region
+// (values inside the region are identical to a full decode; the library
+// widens the region to iMCU/upsampling-safe boundaries itself), and
+// jpeg_skip_scanlines skips the IDCT for leading rows. Both only shrink
+// WORK, never change decoded bytes — verified by tests/test_native.py's
+// full-chain comparisons against PIL.
+extern "C" {
+void jpeg_crop_scanline(j_decompress_ptr cinfo, JDIMENSION* xoffset,
+                        JDIMENSION* width);
+JDIMENSION jpeg_skip_scanlines(j_decompress_ptr cinfo, JDIMENSION num_lines);
+}
+
 namespace {
 
 thread_local std::string g_last_error;
@@ -38,6 +52,28 @@ struct ImageU8 {
   int c = 0;
   std::vector<unsigned char> data;  // HWC
 };
+
+// Decoded-subimage bookkeeping: the full post-scaling image is fw x fh;
+// the ImageU8 payload holds only [y0, y0+h) x [x0, x0+w) of it (full-image
+// coordinates). A full decode has x0 = y0 = 0, w = fw, h = fh.
+struct DecodeRegion {
+  int fw = 0;
+  int fh = 0;
+  int x0 = 0;
+  int y0 = 0;
+};
+
+// The source-tap support interval of output pixels [o0, o1) under the
+// triangle filter build_taps() uses — a (possibly slightly wider) superset
+// of the union of its trimmed tap windows, safe to decode-restrict to.
+void tap_support(int in_size, int out_size, int o0, int o1, int* s0, int* s1) {
+  double scale = static_cast<double>(in_size) / out_size;
+  double support = std::max(1.0, scale);
+  *s0 = std::max(0, static_cast<int>(std::floor((o0 + 0.5) * scale - support)));
+  *s1 = std::min(in_size,
+                 static_cast<int>(std::ceil((o1 - 0.5) * scale + support)));
+  if (*s1 <= *s0) *s1 = std::min(in_size, *s0 + 1);
+}
 
 // ---------------------------------------------------------------------------
 // JPEG decode (with scaled decode: pick the largest 1/N <= needed upscale)
@@ -58,7 +94,39 @@ void jpeg_error_exit(j_common_ptr cinfo) {
   longjmp(mgr->jump, 1);
 }
 
-bool decode_jpeg(const unsigned char* buf, size_t len, int target, ImageU8* out) {
+// Shorter-side resize dims (torchvision semantics — see shape_to_square).
+void resize_dims(int w, int h, int resize_target, int* rw, int* rh) {
+  if (w <= h) {
+    *rw = resize_target;
+    *rh = std::max(
+        1, static_cast<int>(static_cast<double>(h) * resize_target / w));
+  } else {
+    *rh = resize_target;
+    *rw = std::max(
+        1, static_cast<int>(static_cast<double>(w) * resize_target / h));
+  }
+}
+
+int center_anchor(int size, int target);  // defined below
+
+// The source region (post-scaling decode coordinates) that the fused
+// resample+crop actually reads: the tap support of the output columns/rows
+// that survive the center crop. Everything outside it is decoded-then-
+// discarded work the partial-decode API can skip.
+void used_source_region(int fw, int fh, int resize_target, int crop_target,
+                        int* sx0, int* sx1, int* sy0, int* sy1) {
+  int rw, rh;
+  resize_dims(fw, fh, resize_target, &rw, &rh);
+  int left = center_anchor(rw, crop_target);
+  int top = center_anchor(rh, crop_target);
+  int ox0 = std::max(0, left), ox1 = std::min(rw, left + crop_target);
+  int oy0 = std::max(0, top), oy1 = std::min(rh, top + crop_target);
+  tap_support(fw, rw, ox0, ox1, sx0, sx1);
+  tap_support(fh, rh, oy0, oy1, sy0, sy1);
+}
+
+bool decode_jpeg(const unsigned char* buf, size_t len, int target,
+                 int crop_target, ImageU8* out, DecodeRegion* reg) {
   jpeg_decompress_struct cinfo;
   JpegErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -81,7 +149,8 @@ bool decode_jpeg(const unsigned char* buf, size_t len, int target, ImageU8* out)
   // that serving a PIL-trained model through it costs real accuracy on
   // noise-sensitive content (hard-set B3: 0.8745 vs 0.9340 top-1, AUC
   // 0.9488 vs 0.9754 — docs/BENCHMARKS.md). Default is full-res decode:
-  // bit-faithful source pixels, ~0.3 ms slower per 480p JPEG.
+  // bit-faithful source pixels, partial-decode-restricted below to the
+  // pixels the fused resample+crop actually consumes.
   if (target > 0 && g_scaled_decode) {
     int shorter = std::min(static_cast<int>(cinfo.image_width),
                            static_cast<int>(cinfo.image_height));
@@ -93,26 +162,81 @@ bool decode_jpeg(const unsigned char* buf, size_t len, int target, ImageU8* out)
   cinfo.dct_method = JDCT_ISLOW;
   jpeg_start_decompress(&cinfo);
 
-  out->w = cinfo.output_width;
-  out->h = cinfo.output_height;
+  const int fw = static_cast<int>(cinfo.output_width);
+  const int fh = static_cast<int>(cinfo.output_height);
+  reg->fw = fw;
+  reg->fh = fh;
+  reg->x0 = 0;
+  reg->y0 = 0;
+  int read_y1 = fh;
+
+  // Full-res path: restrict IDCT + color conversion to the column range
+  // the fused resample+crop reads (jpeg_crop_scanline; the library widens
+  // to iMCU/upsampling-safe bounds and yields bytes identical to a full
+  // decode), and skip the IDCT for rows outside the used row range
+  // (jpeg_skip_scanlines + early stop). djpeg's -crop uses exactly this
+  // composition. Entropy decoding still walks every MCU — that floor is
+  // the format's, not ours.
+  if (target > 0 && crop_target > 0 && !g_scaled_decode) {
+    int sx0, sx1, sy0, sy1;
+    used_source_region(fw, fh, target, crop_target, &sx0, &sx1, &sy0, &sy1);
+    // Context margin: h2v2 fancy upsampling interpolates chroma across
+    // neighboring samples, so the row/column right AT a partial-decode
+    // boundary can differ from a full decode by a few LSB (measured: left
+    // region edge only, |Δ| ≤ 3). Widen the decoded region so any boundary
+    // pixels sit OUTSIDE the resample's tap support and are never read.
+    constexpr int kEdgeMargin = 8;
+    sx0 = std::max(0, sx0 - kEdgeMargin);
+    sx1 = std::min(fw, sx1 + kEdgeMargin);
+    sy0 = std::max(0, sy0 - kEdgeMargin);
+    sy1 = std::min(fh, sy1 + kEdgeMargin);
+    if (sx1 - sx0 < fw) {
+      JDIMENSION xoff = static_cast<JDIMENSION>(sx0);
+      JDIMENSION width = static_cast<JDIMENSION>(sx1 - sx0);
+      jpeg_crop_scanline(&cinfo, &xoff, &width);
+      reg->x0 = static_cast<int>(xoff);
+    }
+    if (sy0 > 0) {
+      jpeg_skip_scanlines(&cinfo, static_cast<JDIMENSION>(sy0));
+      reg->y0 = static_cast<int>(cinfo.output_scanline);
+    }
+    read_y1 = sy1;
+  }
+
+  out->w = static_cast<int>(cinfo.output_width);  // post-crop width
+  out->h = read_y1 - reg->y0;
   out->c = 3;
   out->data.resize(static_cast<size_t>(out->w) * out->h * 3);
-  int row_stride = out->w * cinfo.output_components;
-  std::vector<unsigned char> row(row_stride);
-  while (cinfo.output_scanline < cinfo.output_height) {
-    unsigned char* rp = row.data();
-    jpeg_read_scanlines(&cinfo, &rp, 1);
-    unsigned char* dst =
-        out->data.data() + static_cast<size_t>(cinfo.output_scanline - 1) * out->w * 3;
-    if (cinfo.output_components == 3) {
-      std::memcpy(dst, row.data(), static_cast<size_t>(out->w) * 3);
-    } else {  // grayscale → replicate
+  if (cinfo.output_components == 3) {
+    // read scanlines directly into the output buffer, several per call
+    std::vector<JSAMPROW> rows(std::max(1, out->h));
+    for (int y = 0; y < out->h; ++y) {
+      rows[y] = out->data.data() + static_cast<size_t>(y) * out->w * 3;
+    }
+    while (static_cast<int>(cinfo.output_scanline) < read_y1) {
+      int got = static_cast<int>(cinfo.output_scanline) - reg->y0;
+      jpeg_read_scanlines(&cinfo, rows.data() + got,
+                          static_cast<JDIMENSION>(read_y1 - reg->y0 - got));
+    }
+  } else {  // defensive: grayscale → replicate (JCS_RGB makes this rare)
+    std::vector<unsigned char> row(
+        static_cast<size_t>(out->w) * cinfo.output_components);
+    while (static_cast<int>(cinfo.output_scanline) < read_y1) {
+      unsigned char* rp = row.data();
+      jpeg_read_scanlines(&cinfo, &rp, 1);
+      unsigned char* dst =
+          out->data.data() +
+          (static_cast<size_t>(cinfo.output_scanline) - 1 - reg->y0) * out->w * 3;
       for (int x = 0; x < out->w; ++x) {
         dst[3 * x] = dst[3 * x + 1] = dst[3 * x + 2] = row[x];
       }
     }
   }
-  jpeg_finish_decompress(&cinfo);
+  if (read_y1 >= fh) {
+    jpeg_finish_decompress(&cinfo);
+  } else {
+    jpeg_abort_decompress(&cinfo);  // stop early: trailing rows unused
+  }
   jpeg_destroy_decompress(&cinfo);
   return true;
 }
@@ -231,58 +355,145 @@ FilterTaps build_taps(int in_size, int out_size) {
   return t;
 }
 
-void resample(const ImageU8& in, int out_w, int out_h, ImageU8* out) {
-  FilterTaps tx = build_taps(in.w, out_w);
-  FilterTaps ty = build_taps(in.h, out_h);
-  // horizontal pass → float intermediate [in.h, out_w, 3]
-  std::vector<float> tmp(static_cast<size_t>(in.h) * out_w * 3);
-  for (int y = 0; y < in.h; ++y) {
-    const unsigned char* src = in.data.data() + static_cast<size_t>(y) * in.w * 3;
-    float* dst = tmp.data() + static_cast<size_t>(y) * out_w * 3;
-    for (int xo = 0; xo < out_w; ++xo) {
-      float r = 0, g = 0, b = 0;
-      int s = tx.start[xo], n = tx.count[xo];
+// Fixed-tap-count channel dots: unrolled FMA chains over planar floats,
+// sequential adds (k ascending — same accumulation order as the generic
+// loop), with 3 independent chains for ILP. The switch on the (nearly
+// constant) tap count removes the variable-bound inner loop that blocked
+// instruction-level scheduling in the interleaved-u8 form.
+template <int N>
+inline void dot3(const float* w, const float* pr, const float* pg,
+                 const float* pb, float* r, float* g, float* b) {
+  float rr = w[0] * pr[0], gg = w[0] * pg[0], bb = w[0] * pb[0];
+  for (int k = 1; k < N; ++k) {
+    rr += w[k] * pr[k];
+    gg += w[k] * pg[k];
+    bb += w[k] * pb[k];
+  }
+  *r = rr;
+  *g = gg;
+  *b = bb;
+}
+
+// Per-batch-thread scratch: reused across the images of a batch so the
+// float intermediate / planar rows are not reallocated (and re-zeroed) per
+// image. Freed at thread exit (batch workers are per-call threads).
+struct ResampleScratch {
+  std::vector<float> tmp;
+  std::vector<float> pr, pg, pb;
+  std::vector<float> acc;
+};
+thread_local ResampleScratch g_scratch;
+
+// Resample the decoded subimage `in` (region `reg` of the virtual full
+// image) and write ONLY the output region [ox0,ox1) x [oy0,oy1) of the
+// virtual [rw x rh] resized image, at dst (row stride dst_stride bytes).
+// Weights/accumulation are identical to a full resample of the full image
+// — the region machinery only skips outputs nothing consumes.
+void resample_region(const ImageU8& in, const DecodeRegion& reg, int rw,
+                     int rh, int ox0, int ox1, int oy0, int oy1,
+                     unsigned char* dst, size_t dst_stride) {
+  FilterTaps tx = build_taps(reg.fw, rw);
+  FilterTaps ty = build_taps(reg.fh, rh);
+  const int ow = ox1 - ox0;
+  if (ow <= 0 || oy1 <= oy0) return;
+  // source rows the vertical taps of [oy0, oy1) touch
+  int sy0, sy1;
+  tap_support(reg.fh, rh, oy0, oy1, &sy0, &sy1);
+  sy0 = std::max(sy0, reg.y0);
+  sy1 = std::min(sy1, reg.y0 + in.h);
+  const int n_rows = sy1 - sy0;
+
+  // horizontal pass → float intermediate [n_rows, ow, 3]; planar u8→f32
+  // row conversion feeds contiguous per-channel dots
+  ResampleScratch& sc = g_scratch;
+  sc.tmp.resize(static_cast<size_t>(n_rows) * ow * 3);
+  sc.pr.resize(in.w);
+  sc.pg.resize(in.w);
+  sc.pb.resize(in.w);
+  for (int y = sy0; y < sy1; ++y) {
+    const unsigned char* src =
+        in.data.data() + static_cast<size_t>(y - reg.y0) * in.w * 3;
+    for (int x = 0; x < in.w; ++x) {
+      sc.pr[x] = src[3 * x];
+      sc.pg[x] = src[3 * x + 1];
+      sc.pb[x] = src[3 * x + 2];
+    }
+    float* drow = sc.tmp.data() + static_cast<size_t>(y - sy0) * ow * 3;
+    for (int xo = ox0; xo < ox1; ++xo) {
+      const int s = tx.start[xo] - reg.x0;  // tap indices are full-image
+      const int n = tx.count[xo];
       const float* w = &tx.weight[static_cast<size_t>(xo) * tx.max_count];
-      for (int k = 0; k < n; ++k) {
-        const unsigned char* p = src + 3 * (s + k);
-        r += w[k] * p[0];
-        g += w[k] * p[1];
-        b += w[k] * p[2];
+      float r, g, b;
+      const float* ar = &sc.pr[s];
+      const float* ag = &sc.pg[s];
+      const float* ab = &sc.pb[s];
+      switch (n) {
+        case 1: dot3<1>(w, ar, ag, ab, &r, &g, &b); break;
+        case 2: dot3<2>(w, ar, ag, ab, &r, &g, &b); break;
+        case 3: dot3<3>(w, ar, ag, ab, &r, &g, &b); break;
+        case 4: dot3<4>(w, ar, ag, ab, &r, &g, &b); break;
+        case 5: dot3<5>(w, ar, ag, ab, &r, &g, &b); break;
+        case 6: dot3<6>(w, ar, ag, ab, &r, &g, &b); break;
+        case 7: dot3<7>(w, ar, ag, ab, &r, &g, &b); break;
+        case 8: dot3<8>(w, ar, ag, ab, &r, &g, &b); break;
+        default: {
+          float rr = 0, gg = 0, bb = 0;
+          for (int k = 0; k < n; ++k) {
+            rr += w[k] * ar[k];
+            gg += w[k] * ag[k];
+            bb += w[k] * ab[k];
+          }
+          r = rr;
+          g = gg;
+          b = bb;
+        }
       }
-      dst[3 * xo] = r;
-      dst[3 * xo + 1] = g;
-      dst[3 * xo + 2] = b;
+      float* d = drow + 3 * (xo - ox0);
+      d[0] = r;
+      d[1] = g;
+      d[2] = b;
     }
   }
-  // vertical pass → uint8 out. Tap-major loop order: each tap contributes a
-  // full-row AXPY over contiguous floats, which the compiler vectorizes —
-  // measured 10x over the pixel-major form (0.615 → 0.063 ms at 320x240 →
-  // 298x224), where the variable-count inner tap loop blocked SIMD. The
-  // accumulation order per output value is unchanged (k ascending), so the
-  // results are bit-identical.
+
+  // vertical pass → uint8 region rows. Tap-major loop order: each tap
+  // contributes a full-row AXPY over contiguous floats, which the compiler
+  // vectorizes — measured 10x over the pixel-major form (0.615 → 0.063 ms
+  // at 320x240 → 298x224), where the variable-count inner tap loop blocked
+  // SIMD. The accumulation order per output value is unchanged (k
+  // ascending), so the results are bit-identical.
+  const int row_len = ow * 3;
+  sc.acc.resize(row_len);
+  float* acc = sc.acc.data();
+  for (int yo = oy0; yo < oy1; ++yo) {
+    const int s = ty.start[yo] - sy0;
+    const int n = ty.count[yo];
+    const float* w = &ty.weight[static_cast<size_t>(yo) * ty.max_count];
+    const float* row0 = &sc.tmp[static_cast<size_t>(s) * row_len];
+    const float w0 = w[0];
+    for (int x = 0; x < row_len; ++x) acc[x] = w0 * row0[x];
+    for (int k = 1; k < n; ++k) {
+      const float* rowk = &sc.tmp[static_cast<size_t>(s + k) * row_len];
+      const float wk = w[k];
+      for (int x = 0; x < row_len; ++x) acc[x] += wk * rowk[x];
+    }
+    unsigned char* d = dst + static_cast<size_t>(yo - oy0) * dst_stride;
+    for (int x = 0; x < row_len; ++x) {
+      int v = static_cast<int>(acc[x] + 0.5f);
+      d[x] = static_cast<unsigned char>(std::clamp(v, 0, 255));
+    }
+  }
+}
+
+// Whole-image resample (microbench / non-crop callers).
+[[maybe_unused]] void resample(const ImageU8& in, int out_w, int out_h,
+                               ImageU8* out) {
   out->w = out_w;
   out->h = out_h;
   out->c = 3;
   out->data.resize(static_cast<size_t>(out_w) * out_h * 3);
-  const int row_len = out_w * 3;
-  std::vector<float> acc(row_len);
-  for (int yo = 0; yo < out_h; ++yo) {
-    int s = ty.start[yo], n = ty.count[yo];
-    const float* w = &ty.weight[static_cast<size_t>(yo) * ty.max_count];
-    const float* row0 = &tmp[static_cast<size_t>(s) * row_len];
-    const float w0 = w[0];
-    for (int x = 0; x < row_len; ++x) acc[x] = w0 * row0[x];
-    for (int k = 1; k < n; ++k) {
-      const float* rowk = &tmp[static_cast<size_t>(s + k) * row_len];
-      const float wk = w[k];
-      for (int x = 0; x < row_len; ++x) acc[x] += wk * rowk[x];
-    }
-    unsigned char* dst = out->data.data() + static_cast<size_t>(yo) * row_len;
-    for (int x = 0; x < row_len; ++x) {
-      int v = static_cast<int>(acc[x] + 0.5f);
-      dst[x] = static_cast<unsigned char>(std::clamp(v, 0, 255));
-    }
-  }
+  DecodeRegion reg{in.w, in.h, 0, 0};
+  resample_region(in, reg, out_w, out_h, 0, out_w, 0, out_h,
+                  out->data.data(), static_cast<size_t>(out_w) * 3);
 }
 
 // torchvision CenterCrop anchor: int(round((size - target)/2.0)) with
@@ -290,7 +501,7 @@ void resample(const ImageU8& in, int out_w, int out_h, ImageU8* out) {
 // shifts the crop 1px when (size - target) % 4 == 3). Smaller-than-crop
 // images pad top-left by (target - size)/2 first (functional.center_crop
 // padding_ltrb), so the content anchor is -((target - size) / 2).
-static int center_anchor(int size, int target) {
+int center_anchor(int size, int target) {
   if (size < target) return -((target - size) / 2);
   int diff = size - target;
   if (diff % 2 == 0) return diff / 2;
@@ -300,37 +511,26 @@ static int center_anchor(int size, int target) {
 
 // shorter-side resize to resize_target then DIRECT center crop/pad to
 // crop_target x crop_target (single-crop torchvision anchors — composing
-// two center crops would shift 1px on odd remainders)
-void shape_to_square(const ImageU8& in, int resize_target, int crop_target,
-                     unsigned char* out) {
+// two center crops would shift 1px on odd remainders). The resample runs
+// fused with the crop: only the output pixels inside the crop window are
+// ever computed (resample_region), and `in` may itself be just the
+// partial-decoded source region (reg).
+void shape_to_square(const ImageU8& in, const DecodeRegion& reg,
+                     int resize_target, int crop_target, unsigned char* out) {
   // Output size TRUNCATES (int cast), matching torchvision 0.24's
   // _compute_resized_output_size: new_long = int(target * long / short).
   int rw, rh;
-  if (in.w <= in.h) {
-    rw = resize_target;
-    rh = std::max(1, static_cast<int>(
-                       static_cast<double>(in.h) * resize_target / in.w));
-  } else {
-    rh = resize_target;
-    rw = std::max(1, static_cast<int>(
-                       static_cast<double>(in.w) * resize_target / in.h));
-  }
-  ImageU8 resized;
-  resample(in, rw, rh, &resized);
-  std::memset(out, 0, static_cast<size_t>(crop_target) * crop_target * 3);
+  resize_dims(reg.fw, reg.fh, resize_target, &rw, &rh);
   int top = center_anchor(rh, crop_target);
   int left = center_anchor(rw, crop_target);
-  for (int y = 0; y < crop_target; ++y) {
-    int sy = y + top;
-    if (sy < 0 || sy >= rh) continue;
-    int sx0 = std::max(0, left);
-    int sx1 = std::min(rw, left + crop_target);
-    if (sx1 <= sx0) continue;
-    std::memcpy(
-        out + (static_cast<size_t>(y) * crop_target + (sx0 - left)) * 3,
-        resized.data.data() + (static_cast<size_t>(sy) * rw + sx0) * 3,
-        static_cast<size_t>(sx1 - sx0) * 3);
-  }
+  int ox0 = std::max(0, left), ox1 = std::min(rw, left + crop_target);
+  int oy0 = std::max(0, top), oy1 = std::min(rh, top + crop_target);
+  std::memset(out, 0, static_cast<size_t>(crop_target) * crop_target * 3);
+  if (ox1 <= ox0 || oy1 <= oy0) return;
+  unsigned char* dst =
+      out + (static_cast<size_t>(oy0 - top) * crop_target + (ox0 - left)) * 3;
+  resample_region(in, reg, rw, rh, ox0, ox1, oy0, oy1, dst,
+                  static_cast<size_t>(crop_target) * 3);
 }
 
 bool read_file(const char* path, std::vector<unsigned char>* out) {
@@ -352,12 +552,15 @@ bool read_file(const char* path, std::vector<unsigned char>* out) {
   return true;
 }
 
-bool decode_any(const unsigned char* buf, size_t len, int target, ImageU8* img) {
+bool decode_any(const unsigned char* buf, size_t len, int target,
+                int crop_target, ImageU8* img, DecodeRegion* reg) {
   if (len >= 2 && buf[0] == 0xFF && buf[1] == 0xD8) {
-    return decode_jpeg(buf, len, target, img);
+    return decode_jpeg(buf, len, target, crop_target, img, reg);
   }
   if (len >= 8 && !png_sig_cmp(buf, 0, 8)) {
-    return decode_png(buf, len, img);
+    if (!decode_png(buf, len, img)) return false;
+    *reg = DecodeRegion{img->w, img->h, 0, 0};
+    return true;
   }
   g_last_error = "unsupported image format (need JPEG or PNG)";
   return false;
@@ -381,8 +584,12 @@ int dfd_decode_image_rc(const char* path, int resize_target, int crop_target,
   std::vector<unsigned char> buf;
   if (!read_file(path, &buf)) return 1;
   ImageU8 img;
-  if (!decode_any(buf.data(), buf.size(), resize_target, &img)) return 2;
-  shape_to_square(img, resize_target, crop_target, out);
+  DecodeRegion reg;
+  if (!decode_any(buf.data(), buf.size(), resize_target, crop_target, &img,
+                  &reg)) {
+    return 2;
+  }
+  shape_to_square(img, reg, resize_target, crop_target, out);
   return 0;
 }
 
@@ -395,8 +602,11 @@ int dfd_decode_image(const char* path, int target, unsigned char* out) {
 int dfd_decode_buffer(const unsigned char* buf, long len, int target,
                       unsigned char* out) {
   ImageU8 img;
-  if (!decode_any(buf, static_cast<size_t>(len), target, &img)) return 2;
-  shape_to_square(img, target, target, out);
+  DecodeRegion reg;
+  if (!decode_any(buf, static_cast<size_t>(len), target, target, &img, &reg)) {
+    return 2;
+  }
+  shape_to_square(img, reg, target, target, out);
   return 0;
 }
 
@@ -413,16 +623,17 @@ int dfd_decode_buffer_batch_rc(const unsigned char** bufs, const long* lens,
   std::atomic<int> failures{0};
   size_t stride = static_cast<size_t>(crop_target) * crop_target * 3;
   auto worker = [&]() {
+    ImageU8 img;  // reused: keeps its capacity across the batch's images
     for (;;) {
       int i = next.fetch_add(1);
       if (i >= n) return;
-      ImageU8 img;
+      DecodeRegion reg;
       int rc = 0;
       if (!decode_any(bufs[i], static_cast<size_t>(lens[i]), resize_target,
-                      &img)) {
+                      crop_target, &img, &reg)) {
         rc = 2;
       } else {
-        shape_to_square(img, resize_target, crop_target, out + stride * i);
+        shape_to_square(img, reg, resize_target, crop_target, out + stride * i);
       }
       status[i] = rc;
       if (rc != 0) failures.fetch_add(1);
