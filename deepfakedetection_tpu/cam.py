@@ -52,8 +52,12 @@ def compute_cam(
     """Grayscale CAM [B, H, W] in [0,1] at the input resolution.
 
     GradCAM weights: spatial mean of ∂score/∂A per channel; map:
-    ReLU(Σ_c w_c A_c), min-max normalized per image, bilinear-resized to the
-    input size (pytorch_grad_cam GradCAM semantics).
+    ReLU(Σ_c w_c A_c), then min-max normalized per image and THEN
+    bilinear-resized to the input size — pytorch_grad_cam's
+    ``scale_cam_image`` order (normalize before resize; the round-5
+    two-implementation check in tests/torch_refs/gradcam_torch.py pins
+    this order — resize-then-normalize differs by up to a few percent
+    where the resize smooths the extrema).
     """
     _, inter = model.apply(
         {"params": params, "batch_stats": batch_stats},
@@ -84,11 +88,12 @@ def compute_cam(
     grads = jax.grad(score)(feats)
     weights = jnp.mean(grads, axis=(1, 2), keepdims=True)
     cam = jax.nn.relu(jnp.sum(weights * feats, axis=-1))  # [B, h, w]
+    # pytorch_grad_cam scale_cam_image: shift to 0, divide by (1e-7 + max),
+    # THEN resize to the input size
+    cam = cam - cam.min(axis=(1, 2), keepdims=True)
+    cam = cam / (1e-7 + cam.max(axis=(1, 2), keepdims=True))
     B = cam.shape[0]
-    cam = jax.image.resize(cam, (B, x.shape[1], x.shape[2]), method="bilinear")
-    cmin = cam.min(axis=(1, 2), keepdims=True)
-    cmax = cam.max(axis=(1, 2), keepdims=True)
-    return (cam - cmin) / (cmax - cmin + 1e-7)
+    return jax.image.resize(cam, (B, x.shape[1], x.shape[2]), method="bilinear")
 
 
 def jet_colormap(gray: np.ndarray) -> np.ndarray:

@@ -159,11 +159,15 @@ class EfficientNetB3(nn.Module):
         self._conv_head = SamePadConv2d(cin, head, 1, bias=False, image_size=trace)
         self._bn1 = nn.BatchNorm2d(head, eps=1e-3)
         self._fc = nn.Linear(head, num_classes)
+        # parameter-free Grad-CAM hook point: the post-BN+SiLU head feature
+        # map — the torch-side analogue of the flax model's
+        # sow("intermediates", "cam_features") (efficientnet.py:234)
+        self._cam_point = nn.Identity()
 
     def forward(self, x: torch.Tensor) -> torch.Tensor:
         x = F.silu(self._bn0(self._conv_stem(x)))
         for block in self._blocks:
             x = block(x)
-        x = F.silu(self._bn1(self._conv_head(x)))
+        x = self._cam_point(F.silu(self._bn1(self._conv_head(x))))
         x = x.mean(dim=(2, 3))
         return self._fc(x)
