@@ -43,6 +43,11 @@ class InferenceConfig(BaseModel):
     # TPU extension: per-model eval numerics — "bf16" (default) or "int8"
     # (calibrated quantized ConvBN path, ops/quant.py; opt-in serving mode)
     precision: str | None = None
+    # TPU extension: int8 activation-range statistic — "absmax" (default),
+    # "percentile" (clip outliers at int8_percentile of |x|), or
+    # "per-channel" (per-input-channel absmax folded into the weights)
+    int8_calibration: str | None = None
+    int8_percentile: float | None = None
     # TPU extension: test-time augmentation — None (default) or "hflip"
     # (average softmax probs over the horizontal flip; ~2x eval compute)
     tta: str | None = None
@@ -79,6 +84,25 @@ class InferenceConfig(BaseModel):
         if str(value).lower() not in allowed:
             raise ValueError(
                 f"inference.precision must be one of {allowed}, got {value!r}"
+            )
+        return value
+
+    @field_validator("int8_calibration")
+    @classmethod
+    def _int8_calibration_supported(cls, value: str | None) -> str | None:
+        allowed = ("absmax", "percentile", "per-channel")
+        if value is not None and str(value).lower() not in allowed:
+            raise ValueError(
+                f"inference.int8_calibration must be one of {allowed}, got {value!r}"
+            )
+        return value
+
+    @field_validator("int8_percentile")
+    @classmethod
+    def _int8_percentile_valid(cls, value: float | None) -> float | None:
+        if value is not None and not 0.5 <= float(value) <= 1.0:
+            raise ValueError(
+                f"inference.int8_percentile must be in [0.5, 1], got {value}"
             )
         return value
 

@@ -57,6 +57,11 @@ class EvalJob:
     # batches before the sweep; opt-in serving mode, accuracy delta is
     # whatever metrics.jsonl reports vs a bf16 run
     precision: str = "bf16"
+    # int8 activation-range statistic (inference.int8_calibration):
+    # "absmax" (default) | "percentile" (clip outliers at int8_percentile
+    # of |x|) | "per-channel" (per-input-channel absmax). VERDICT r4 #6.
+    int8_calibration: str = "absmax"
+    int8_percentile: float = 0.999
     # decode batches staged ahead of the consumer (Loader.lookahead);
     # measured A/B in docs/BENCHMARKS.md — 2 wins when the decode pool is
     # narrow, neutral when it is wide
@@ -303,7 +308,10 @@ def _calibration_scope(job: EvalJob, model, params, batch_stats, plan, mesh):
                 )
             )
     scales = (
-        quant.calibrate_act_scales(model, params, batch_stats, batches)
+        quant.calibrate_act_scales(
+            model, params, batch_stats, batches,
+            mode=job.int8_calibration, percentile=job.int8_percentile,
+        )
         if batches
         else {}
     )
@@ -314,9 +322,16 @@ def _calibration_scope(job: EvalJob, model, params, batch_stats, plan, mesh):
             "— staying bf16[/]"
         )
         return contextlib.nullcontext(), False
+    mode_note = (
+        f" [{job.int8_calibration}"
+        + (f"@{job.int8_percentile}" if job.int8_calibration == "percentile" else "")
+        + "]"
+        if job.int8_calibration != "absmax"
+        else ""
+    )
     console.print(
         f"  int8 eval: calibrated {len(scales)} conv layers on "
-        f"{len(batches)} '{calib_split}' batches"
+        f"{len(batches)} '{calib_split}' batches{mode_note}"
     )
     return quant.quantized_eval(quant.QuantCtx(scales=scales)), True
 

@@ -270,12 +270,21 @@ class ConvBN(nn.Module):
                 eligible = self.groups == 1 or (is_dw and qctx.include_depthwise)
                 if eligible and qctx.calibrate:
                     # full-precision calibration pass: record this layer's
-                    # input range, then run the normal bf16 conv below
-                    self.sow(
-                        "intermediates",
-                        "act_absmax",
-                        jnp.max(jnp.abs(x)).astype(jnp.float32),
-                    )
+                    # input range, then run the normal bf16 conv below.
+                    # Range statistic per ctx.calib_mode: global absmax
+                    # (default), global |x| percentile (outlier clipping),
+                    # or per-input-channel absmax (folded into the weights
+                    # by int8_conv).
+                    ax = jnp.abs(x.astype(jnp.float32))
+                    if qctx.calib_mode == "percentile":
+                        stat = jnp.quantile(
+                            ax.reshape(-1), jnp.float32(qctx.percentile)
+                        )
+                    elif qctx.calib_mode == "per-channel":
+                        stat = jnp.max(ax, axis=tuple(range(ax.ndim - 1)))
+                    else:
+                        stat = jnp.max(ax)
+                    self.sow("intermediates", "act_absmax", stat)
                 elif eligible:
                     sx = qctx.scale_for(self.scope.path)
                     if sx is not None:

@@ -53,15 +53,23 @@ class QuantCtx:
     input absmax into the "intermediates" collection instead of quantizing.
     """
 
-    scales: dict[str, float] | None = None
+    scales: dict[str, object] | None = None
     default_scale: float | None = None
     calibrate: bool = False
     include_depthwise: bool = True
+    # calibration statistic (VERDICT r4 #6 alternatives to plain absmax):
+    # "absmax" | "percentile" (global |x| quantile at ``percentile`` —
+    # clips outliers so the bulk of the range keeps more int8 levels) |
+    # "per-channel" (per-input-channel absmax, folded into the weights)
+    calib_mode: str = "absmax"
+    percentile: float = 0.999
 
-    def scale_for(self, path: tuple[str, ...]) -> float | None:
+    def scale_for(self, path: tuple[str, ...]):
+        """float (global scale) or np/jnp [Cin] array (per-channel)."""
         key = "/".join(path)
         if self.scales is not None and key in self.scales:
-            return float(self.scales[key])
+            s = self.scales[key]
+            return float(s) if jnp.ndim(s) == 0 else s
         return self.default_scale
 
 
@@ -86,9 +94,14 @@ def quantize_weight_per_channel(w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarra
     return wq, sw
 
 
-def quantize_act(x: jnp.ndarray, scale: float) -> jnp.ndarray:
-    """bf16/f32 activations -> int8 with the given static symmetric scale."""
-    inv = jnp.float32(1.0 / scale)
+def quantize_act(x: jnp.ndarray, scale) -> jnp.ndarray:
+    """bf16/f32 activations -> int8 with static symmetric scale(s).
+
+    ``scale`` is a python float (global) or a [Cin] array (per-channel,
+    broadcast over the NHWC channel dim). The clip also realizes
+    percentile calibration: values past the clipped range saturate at
+    ±127 instead of stretching every other value's resolution."""
+    inv = jnp.float32(1.0) / jnp.asarray(scale, jnp.float32)
     return jnp.clip(jnp.round(x.astype(jnp.float32) * inv), -127.0, 127.0).astype(
         jnp.int8
     )
@@ -109,8 +122,34 @@ def int8_conv(
     ``w_folded``/``bias`` are the BN-folded f32 weights/bias ConvBN already
     computes for its eval path (models/common.py); the int8 path slots in
     behind them so folding, padding grids, and head semantics are identical.
+
+    ``act_scale`` may be per-input-channel ([Cin]): x_c ≈ xq_c·sx_c, so
+    conv(x, w) = conv(xq, w·sx) — the channel scales FOLD into the weights
+    before per-output-channel weight quantization, and the epilogue is just
+    ``acc·sw' + b``. Supported for dense (groups=1, kernel I-dim = Cin)
+    and depthwise (I-dim = 1, one input channel per output) convs; other
+    groupings fall back to the scalar max of the channel scales.
     """
-    xq = quantize_act(x, act_scale)
+    sx = jnp.asarray(act_scale, jnp.float32)
+    if sx.ndim > 0:
+        cin = x.shape[-1]
+        if groups == 1 and w_folded.shape[-2] == cin:
+            w_eff = w_folded * sx[None, None, :, None]
+        elif groups == cin and w_folded.shape[-2] == 1 and w_folded.shape[-1] == cin:
+            w_eff = w_folded * sx[None, None, None, :]
+        else:
+            sx = jnp.max(sx)
+            w_eff = None
+        if sx.ndim > 0:
+            xq = quantize_act(x, sx)
+            wq, sw = quantize_weight_per_channel(w_eff)
+            acc = jax.lax.conv_general_dilated(
+                xq, wq, window_strides=strides, padding=padding,
+                dimension_numbers=dn, feature_group_count=groups,
+                preferred_element_type=jnp.int32,
+            )
+            return acc.astype(jnp.float32) * sw + bias
+    xq = quantize_act(x, sx)
     wq, sw = quantize_weight_per_channel(w_folded)
     acc = jax.lax.conv_general_dilated(
         xq,
@@ -121,13 +160,18 @@ def int8_conv(
         feature_group_count=groups,
         preferred_element_type=jnp.int32,
     )
-    return acc.astype(jnp.float32) * (sw * jnp.float32(act_scale)) + bias
+    return acc.astype(jnp.float32) * (sw * sx) + bias
 
 
-def collect_calibration_absmax(intermediates) -> dict[str, float]:
-    """Flatten a sown "intermediates" tree -> {module path: absmax}."""
+def collect_calibration_absmax(intermediates) -> dict[str, object]:
+    """Flatten a sown "intermediates" tree -> {module path: range stat}.
+
+    Stats are scalars (absmax / percentile modes) or [Cin] arrays
+    (per-channel mode); repeats combine by elementwise max."""
+    import numpy as np
+
     flat = jax.tree_util.tree_flatten_with_path(intermediates)[0]
-    out: dict[str, float] = {}
+    out: dict[str, object] = {}
     for keypath, leaf in flat:
         names: list[str] = []
         for k in keypath:
@@ -139,8 +183,13 @@ def collect_calibration_absmax(intermediates) -> dict[str, float]:
         if _LEAF not in names:
             continue
         path = "/".join(n for n in names if n != _LEAF)
-        val = float(jax.device_get(leaf))
-        out[path] = max(out.get(path, 0.0), val)
+        val = np.asarray(jax.device_get(leaf), np.float64)
+        prev = out.get(path)
+        if val.ndim == 0:
+            val = float(val)
+            out[path] = val if prev is None else max(prev, val)
+        else:
+            out[path] = val if prev is None else np.maximum(prev, val)
     return out
 
 
@@ -151,12 +200,18 @@ def calibrate_act_scales(
     batches,
     *,
     include_depthwise: bool = True,
-) -> dict[str, float]:
+    mode: str = "absmax",
+    percentile: float = 0.999,
+) -> dict[str, object]:
     """Run full-precision eval over ``batches`` (bf16 [B,S,S,3] arrays),
-    collecting per-ConvBN input absmax -> activation scales (absmax/127).
+    collecting per-ConvBN input range stats -> activation scales (stat/127).
 
-    Max-over-batches calibration; a handful of batches suffices because the
-    post-BN activation ranges are stable across inputs.
+    ``mode``: "absmax" (default, global), "percentile" (global |x|
+    quantile — outliers saturate instead of stretching the grid), or
+    "per-channel" (per-input-channel absmax arrays, folded into the
+    weights by int8_conv). Max-over-batches combination; a handful of
+    batches suffices because the post-BN activation ranges are stable
+    across inputs.
     """
 
     @jax.jit
@@ -169,10 +224,29 @@ def calibrate_act_scales(
         )
         return inter["intermediates"] if "intermediates" in inter else inter
 
-    absmax: dict[str, float] = {}
-    with quantized_eval(QuantCtx(calibrate=True, include_depthwise=include_depthwise)):
+    import numpy as np
+
+    stats: dict[str, object] = {}
+    ctx = QuantCtx(
+        calibrate=True, include_depthwise=include_depthwise,
+        calib_mode=mode, percentile=percentile,
+    )
+    with quantized_eval(ctx):
         for images in batches:
             inter = probe(params, batch_stats, images)
             for path, val in collect_calibration_absmax(inter).items():
-                absmax[path] = max(absmax.get(path, 0.0), val)
-    return {path: max(val, 1e-6) / 127.0 for path, val in absmax.items()}
+                prev = stats.get(path)
+                if prev is None:
+                    stats[path] = val
+                elif np.ndim(val) == 0:
+                    stats[path] = max(prev, val)
+                else:
+                    stats[path] = np.maximum(prev, val)
+    return {
+        path: (
+            max(val, 1e-6) / 127.0
+            if np.ndim(val) == 0
+            else np.maximum(np.asarray(val), 1e-6) / 127.0
+        )
+        for path, val in stats.items()
+    }

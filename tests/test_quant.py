@@ -228,3 +228,107 @@ def test_eval_job_int8_tta_calibration_composition(tiny_image_tree, tmp_path):
     # temperature re-softmax
     np.testing.assert_allclose(result.probs.sum(axis=1), 1.0, atol=1e-6)
     assert quant.current_ctx() is None
+
+
+def test_percentile_calibration_clips_outliers():
+    """VERDICT r4 #6: percentile scales are tighter than absmax when the
+    input carries rare outliers, and the quantized output of the BULK
+    values gets closer to f32 than under absmax."""
+    model = ConvBNNet()
+    params, bs = _init(model, (1, 16, 16, 3))
+    # inputs with a few extreme outliers
+    x = jax.random.normal(jax.random.key(2), (4, 16, 16, 3), jnp.float32)
+    x = x.at[0, 0, 0, 0].set(40.0).at[1, 3, 3, 1].set(-35.0)
+
+    s_abs = quant.calibrate_act_scales(model, params, bs, [x], mode="absmax")
+    s_pct = quant.calibrate_act_scales(
+        model, params, bs, [x], mode="percentile", percentile=0.999
+    )
+    assert set(s_pct) == set(s_abs) == {"c1", "dw", "c2"}
+    # the first layer sees the raw outliers: its percentile scale must be
+    # meaningfully tighter than the absmax scale
+    assert s_pct["c1"] < 0.5 * s_abs["c1"], (s_pct["c1"], s_abs["c1"])
+
+    # the serving scenario percentile exists for: scales were calibrated on
+    # outlier-carrying data, but the typical input is outlier-FREE — the
+    # absmax grid wastes most of its 127 levels on range nothing uses,
+    # while the percentile grid resolves the bulk finely. (On the outlier
+    # positions themselves clipping of course loses — that's the trade.)
+    x_clean = jax.random.normal(jax.random.key(5), (4, 16, 16, 3), jnp.float32)
+    ref = model.apply({"params": params, "batch_stats": bs}, x_clean, train=False)
+    outs = {}
+    for name, scales in (("absmax", s_abs), ("pct", s_pct)):
+        with quant.quantized_eval(quant.QuantCtx(scales=scales)):
+            outs[name] = model.apply(
+                {"params": params, "batch_stats": bs}, x_clean, train=False
+            )
+    err_abs = float(jnp.mean(jnp.abs(ref - outs["absmax"])))
+    err_pct = float(jnp.mean(jnp.abs(ref - outs["pct"])))
+    assert err_pct < err_abs, (err_pct, err_abs)
+
+
+def test_per_channel_calibration_scales_and_accuracy():
+    """Per-input-channel scales: [Cin] arrays for dense AND depthwise
+    convs, folded into the weights (int8_conv) — and at least as accurate
+    as the global absmax on channel-heterogeneous inputs."""
+    import numpy as np
+
+    model = ConvBNNet()
+    params, bs = _init(model, (1, 16, 16, 3))
+    # channels with wildly different ranges
+    x = jax.random.normal(jax.random.key(3), (4, 16, 16, 3), jnp.float32)
+    x = x * jnp.asarray([20.0, 1.0, 0.05])[None, None, None, :]
+
+    s_ch = quant.calibrate_act_scales(model, params, bs, [x], mode="per-channel")
+    assert np.ndim(s_ch["c1"]) == 1 and s_ch["c1"].shape == (3,)
+    assert np.ndim(s_ch["dw"]) == 1 and s_ch["dw"].shape == (16,)
+    # channel scales reflect the per-channel ranges (c0 >> c2)
+    assert s_ch["c1"][0] > 50 * s_ch["c1"][2]
+
+    s_abs = quant.calibrate_act_scales(model, params, bs, [x], mode="absmax")
+    ref = model.apply({"params": params, "batch_stats": bs}, x, train=False)
+    outs = {}
+    for name, scales in (("absmax", s_abs), ("ch", s_ch)):
+        with quant.quantized_eval(quant.QuantCtx(scales=scales)):
+            outs[name] = model.apply(
+                {"params": params, "batch_stats": bs}, x, train=False
+            )
+    err_abs = float(jnp.mean(jnp.abs(ref - outs["absmax"])))
+    err_ch = float(jnp.mean(jnp.abs(ref - outs["ch"])))
+    assert err_ch <= err_abs * 1.05, (err_ch, err_abs)
+
+
+def test_eval_job_int8_calibration_mode_plumbing(tiny_image_tree, tmp_path):
+    """inference.int8_calibration reaches the eval job's calibration pass
+    (config -> EvalJob -> calibrate_act_scales mode)."""
+    from deepfakedetection_tpu.config import load_config
+
+    cfg = {
+        "data": {"root": str(tiny_image_tree), "num_classes": 2, "img_size": 32},
+        "models": {
+            "efficientnet_b3": {
+                "output_dir": str(tmp_path / "runs"),
+                "inference": {
+                    "precision": "int8",
+                    "int8_calibration": "percentile",
+                    "int8_percentile": 0.995,
+                },
+            }
+        },
+    }
+    import yaml
+
+    p = tmp_path / "cfg.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    loaded = load_config(p)
+    infer = loaded["models"]["efficientnet_b3"]["inference"]
+    assert infer["int8_calibration"] == "percentile"
+    assert infer["int8_percentile"] == 0.995
+
+    import pytest as _pytest
+
+    bad = dict(cfg)
+    bad["models"]["efficientnet_b3"]["inference"]["int8_calibration"] = "minmax"
+    p.write_text(yaml.safe_dump(bad))
+    with _pytest.raises(Exception, match="int8_calibration"):
+        load_config(p)
