@@ -155,7 +155,7 @@ def parse_trace(trace_dir: str, steps: int, top: int) -> None:
         return max(shapes, key=size)
 
     groups: dict[tuple, dict] = collections.defaultdict(
-        lambda: {"us": 0.0, "n": 0, "bytes": 0.0}
+        lambda: {"us": 0.0, "n": 0, "bytes": 0.0, "flops": 0.0}
     )
     for ev in op_events:
         arg = ev.get("args") or {}
@@ -164,20 +164,82 @@ def parse_trace(trace_dir: str, steps: int, top: int) -> None:
         g = groups[key]
         g["us"] += ev.get("dur", 0)
         g["n"] += 1
-        b = arg.get("bytes_accessed")
-        if b is not None:
-            try:
-                g["bytes"] += float(b)
-            except (TypeError, ValueError):
-                pass
+        for field, slot in (("bytes_accessed", "bytes"), ("model_flops", "flops")):
+            v = arg.get(field)
+            if v is not None:
+                try:
+                    g[slot] += float(v)
+                except (TypeError, ValueError):
+                    pass
 
     rows = sorted(groups.items(), key=lambda kv: -kv[1]["us"])[:top]
-    print(f"{'ms/step':>9} {'inst/step':>9} {'GB/s':>7}  category [largest shape]")
+    print(
+        f"{'ms/step':>9} {'inst/step':>9} {'GB/s':>7} {'TFLOP/s':>8}"
+        "  category [largest shape]"
+    )
     for (cat, shape), g in rows:
         ms = g["us"] / n_steps / 1e3
         inst = g["n"] / n_steps
         gbs = (g["bytes"] / (g["us"] * 1e-6) / 1e9) if g["us"] and g["bytes"] else 0.0
-        print(f"{ms:9.3f} {inst:9.1f} {gbs:7.0f}  {cat} [{shape}]")
+        tfs = (g["flops"] / (g["us"] * 1e-6) / 1e12) if g["us"] and g["flops"] else 0.0
+        print(f"{ms:9.3f} {inst:9.1f} {gbs:7.0f} {tfs:8.1f}  {cat} [{shape}]")
+
+    # ---- experimental throughput bound (B3-floor methodology, round 5) ----
+    # If every matmul-class segment ran at the achieved-FLOP/s of its best
+    # IN-TRACE peer OF COMPARABLE ARITHMETIC INTENSITY — not a theoretical
+    # peak, a rate a sibling op on this chip demonstrably sustains at a
+    # similar FLOP/byte ratio — how fast could the step go? Intensity
+    # classing keeps the comparison fair: a depthwise conv at 3 FLOP/byte
+    # can never run at a dense 7x7x2304 conv's rate, and pretending it
+    # could would fabricate headroom. Peers must sit within 4x intensity
+    # of the group they bound (and carry >=1% of MXU time, else noisy).
+    mxu_cats = ("convolution fusion", "convolution")
+    mxu = {k: g for k, g in groups.items() if k[0] in mxu_cats and g["flops"]}
+    if mxu:
+        total_mxu_us = sum(g["us"] for g in mxu.values())
+        total_mxu_flops = sum(g["flops"] for g in mxu.values())
+
+        def intensity(g):
+            return g["flops"] / max(g["bytes"], 1.0)
+
+        candidates = [
+            g for g in mxu.values() if g["us"] >= 0.01 * total_mxu_us
+        ]
+        # dual-resource roofline per group, both rails from IN-TRACE peers:
+        # a group cannot finish faster than its bytes at the best achieved
+        # bandwidth NOR its FLOPs at the best intensity-comparable achieved
+        # MXU rate — the binding rail is the max of the two times. Without
+        # the bandwidth rail, low-intensity (traffic-dominated) convs would
+        # be "bounded" at rates their byte traffic provably forbids.
+        peer_bw = max(
+            (c["bytes"] / (c["us"] * 1e-6) for c in candidates if c["bytes"]),
+            default=0.0,
+        )
+        bound_mxu_us = 0.0
+        for g in mxu.values():
+            mine = intensity(g)
+            peers = [
+                c["flops"] / (c["us"] * 1e-6)
+                for c in candidates
+                if mine / 4.0 <= intensity(c) <= mine * 4.0
+            ] + [g["flops"] / (g["us"] * 1e-6)]
+            t_flop = g["flops"] / max(peers) * 1e6
+            t_bw = (g["bytes"] / peer_bw * 1e6) if peer_bw else 0.0
+            bound_mxu_us += max(t_flop, t_bw)
+        step_us = dom_us / n_steps
+        seg_us = total_mxu_us / n_steps
+        bound_step_us = step_us - seg_us + bound_mxu_us / n_steps
+        print(
+            f"\nMXU-segment bound: {seg_us/1e3:.2f} ms/step at "
+            f"{total_mxu_flops/(total_mxu_us*1e-6)/1e12:.1f} TFLOP/s achieved; "
+            f"intensity-classed peer rates → segment floor "
+            f"{bound_mxu_us/n_steps/1e3:.2f} ms/step"
+        )
+        print(
+            f"step bound: {bound_step_us/1e3:.2f} ms "
+            f"(measured {step_us/1e3:.2f} ms → bound/measured = "
+            f"{bound_step_us/step_us*100:.1f}%)"
+        )
 
 
 def main() -> None:
