@@ -290,7 +290,7 @@ def build_eval_job(
         compute_dtype=_compute_dtype(config),
         precision=str(infer_cfg.get("precision") or "bf16"),
         int8_calibration=str(infer_cfg.get("int8_calibration") or "absmax"),
-        int8_percentile=float(infer_cfg.get("int8_percentile", 0.999)),
+        int8_percentile=float(infer_cfg.get("int8_percentile") or 0.999),
         lookahead=int(infer_cfg.get("lookahead", 2)),
         tta=(str(infer_cfg["tta"]).lower() if infer_cfg.get("tta") else None),
         calibration=(
