@@ -337,6 +337,9 @@ def _calibration_scope(job: EvalJob, model, params, batch_stats, plan, mesh):
 
 
 def _run_eval_job(job: EvalJob) -> EvalResult | None:
+    from deepfakedetection_tpu.runtime import watchdog
+
+    watchdog.enable_for_relay()  # bound relay lost-wakeup hangs (see module)
     console.print(
         f"[bold]Model[/]: {job.model_name} | split={job.split} | batch={job.batch_size}"
     )

@@ -298,6 +298,12 @@ def run_training(job: TrainJob) -> TrainResult:
     # SIGTERM during the run → graceful mid-epoch checkpoint + exact resume
     # (runtime/preempt.py; single-process only — multihost keeps the
     # per-epoch collective latest.ckpt as its recovery unit)
+    from deepfakedetection_tpu.runtime import watchdog
+
+    # relay backends can drop a device-fetch wakeup mid-run (a permanent
+    # futex park with the value already computed); the heartbeat bounds
+    # that hang at one interval (runtime/watchdog.py)
+    watchdog.enable_for_relay()
     with tee_output(job.run_paths.logs / "train.log"), preempt.trap():
         if job.profile_dir:
             import jax.profiler
